@@ -1,0 +1,106 @@
+"""Static render configuration.
+
+The analogue of the reference's ``RendererConfiguration`` plus the compile-time
+shader constants (``src/shaders/common.glsl:1-2`` TILE_WIDTH/TILE_HEIGHT; the
+descriptor-level knobs of ``src/Renderer.h:143`` sortBufferSizeMultiplier).
+Everything here is static under ``jax.jit`` — changing a field re-compiles,
+exactly like the reference re-records command buffers on resize
+(``src/Renderer.cpp:102-117``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Hashable, jit-static configuration for the splatting pipeline.
+
+    Attributes:
+      tile_w, tile_h: raster tile size in pixels. 16x16 matches the reference
+        (``common.glsl:1-2``) and is required for bit-parity of the tile
+        binning; TPU kernels internally regroup tiles into VPU-shaped blocks.
+      sh_degree: max spherical-harmonics degree evaluated (0..3). The
+        reference always evaluates degree 3 (``preprocess.comp:73-108``);
+        lower degrees are equivalent when the higher coefficients are zero.
+      color_clamp: "red" reproduces the reference quirk of clamping only the
+        red channel at zero after the +0.5 SH offset (``preprocess.comp:102-104``);
+        "all" clamps every channel (the upstream-3DGS behaviour); "none"
+        disables clamping.
+      capacity_mult: static instance-buffer capacity as a multiple of N
+        (the analogue of ``sortBufferSizeMultiplier``, ``src/Renderer.h:143``),
+        used when ``capacity`` is None.
+      capacity: optional explicit instance capacity (tile x gaussian pairs).
+      scale_modifier: global multiplier on activated scales (the
+        ``scale_factor`` push constant of ``precomp_cov3d.comp:20``; host
+        passes 1.0 at ``src/GSScene.cpp:176-178``).
+      z_near_cull: view-space depth cull threshold (``preprocess.comp:135``
+        hardcodes 0.2 regardless of the configured near plane).
+      dilation: screen-space covariance dilation added to the diagonal
+        (``preprocess.comp:63-64``).
+      alpha_max / alpha_min / t_min: blending constants
+        (``render.comp:77-84``): alpha clamped to 0.99, contributions below
+        1/255 skipped, termination when transmittance would drop below 1e-4.
+      tile_chunk: number of tiles processed per XLA-rasterizer map step
+        (memory knob, no effect on results).
+      gauss_chunk: per-tile gaussian chunk length in the rasterizer inner
+        loop (vectorization knob, no effect on results).
+      max_per_tile: static cap on instances considered per tile in the XLA
+        rasterizer; instances beyond the cap are dropped (overflow is
+        reported by ``render_stages``). The Pallas kernel streams the true
+        range and does not use this.
+      use_pallas: route rasterization through the Pallas TPU kernel instead
+        of the pure-XLA implementation.
+    """
+
+    tile_w: int = 16
+    tile_h: int = 16
+    sh_degree: int = 3
+    color_clamp: str = "red"
+    capacity_mult: int = 8
+    capacity: int | None = None
+    scale_modifier: float = 1.0
+    z_near_cull: float = 0.2
+    dilation: float = 0.3
+    alpha_max: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+    t_min: float = 1e-4
+    tile_chunk: int = 64
+    gauss_chunk: int = 64
+    max_per_tile: int = 1024
+    use_pallas: bool = False
+
+    def instance_capacity(self, num_gaussians: int) -> int:
+        cap = self.capacity if self.capacity is not None else self.capacity_mult * num_gaussians
+        # Round up so the instance axis tiles evenly onto (8, 128) f32 lanes.
+        return max(1024, -(-cap // 1024) * 1024)
+
+    def tile_grid(self, width: int, height: int) -> tuple[int, int]:
+        """(tiles_x, tiles_y), ceil-divided like ``preprocess.comp:127``."""
+        return (
+            (width + self.tile_w - 1) // self.tile_w,
+            (height + self.tile_h - 1) // self.tile_h,
+        )
+
+
+# Spherical-harmonics constants (common.glsl:16-33; identical to the standard
+# real-SH band coefficients used by upstream 3DGS).
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)

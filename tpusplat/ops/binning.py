@@ -1,0 +1,117 @@
+"""Tile binning: instance expansion, depth sort, and tile ranges.
+
+TPU-native replacement for four reference kernels:
+
+  * K3 naive Hillis-Steele prefix sum (``prefix_sum.comp:32-52``, dispatched
+    ceil(log2 N)+1 times) -> one ``jnp.cumsum``.
+  * K4 scattered key emission (``preprocess_sort.comp:43-58``) -> a *gather*
+    formulation: instead of each Gaussian scattering into its offset range
+    (TPU has no scattered writes), each instance slot looks up its owning
+    Gaussian with a vectorized binary search over the cumulative counts.
+  * K5/K6 8-pass 64-bit radix sort (``sort/hist.comp``, ``sort/sort.comp``)
+    -> one stable lexicographic ``lax.sort`` on (tile int32, depth f32) key
+    pairs. Sorting the positive-float depth directly is equivalent to the
+    reference's float-bits trick (``preprocess_sort.comp:53-55``), and the
+    stable sort preserves instance order for equal keys exactly like the
+    reference's stable radix passes.
+  * K7 tile-boundary extraction (``tile_boundary.comp:22-50``) -> two
+    binary searches per tile over the sorted tile ids.
+
+Everything is static-shape: the instance buffer has a fixed capacity C (the
+analogue of ``sortBufferSizeMultiplier * N``, ``src/Renderer.h:143``), with
+invalid slots pushed past all valid tiles by a sentinel key. Overflow is
+*reported* as a count (device scalar) instead of triggering the reference's
+mid-frame realloc + re-record (``src/Renderer.cpp:541-563``); callers re-jit
+with a larger multiplier — same recovery, no per-frame host sync.
+
+Instance emission order parity: the reference walks x in the outer loop and
+y in the inner loop (``preprocess_sort.comp:47-48``), so rank r within a
+Gaussian maps to (x = x0 + r // bbh, y = y0 + r % bbh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpusplat.config import RenderConfig
+from tpusplat.ops.preprocess import ProcessedGaussians
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BinnedInstances:
+    """Depth-sorted (tile, gaussian) instances plus per-tile ranges."""
+
+    gauss_id: jax.Array  # [C] int32 sorted payload (gaussian index)
+    tile_id: jax.Array  # [C] int32 sorted tile index (sentinel = num_tiles)
+    tile_start: jax.Array  # [T] int32
+    tile_end: jax.Array  # [T] int32
+    num_instances: jax.Array  # scalar int32 (valid, pre-clamp)
+    overflow: jax.Array  # scalar int32: instances dropped due to capacity
+
+
+def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int):
+    """Produce per-slot (tile_id, depth, gauss_id) for C static slots.
+
+    Slot s belongs to the Gaussian g with off[g] <= s < off[g] + ntiles[g]
+    (off = exclusive cumsum). Invalid slots get tile_id == INT32_MAX-ish
+    sentinel so the sort pushes them to the end.
+    """
+    ntiles = pg.ntiles
+    n = ntiles.shape[0]
+    cum = jnp.cumsum(ntiles)  # inclusive
+    total = cum[-1]
+
+    slots = lax.iota(jnp.int32, capacity)
+    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    valid = slots < jnp.minimum(total, capacity)
+    g_safe = jnp.minimum(g, n - 1)
+
+    off = cum - ntiles  # exclusive cumsum
+    r = slots - off[g_safe]
+    x0, y0, y1 = pg.aabb[g_safe, 0], pg.aabb[g_safe, 1], pg.aabb[g_safe, 3]
+    bbh = jnp.maximum(y1 - y0, 1)
+    tx = x0 + r // bbh
+    ty = y0 + r % bbh
+    tile = tx + ty * tiles_x
+
+    sentinel = jnp.int32(2**31 - 1)
+    tile = jnp.where(valid, tile, sentinel)
+    depth = jnp.where(valid, pg.depth[g_safe], jnp.float32(jnp.inf))
+    gid = jnp.where(valid, g_safe, n)
+    overflow = jnp.maximum(total - capacity, 0)
+    return tile, depth, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow
+
+
+def bin_and_sort(
+    pg: ProcessedGaussians, width: int, height: int, cfg: RenderConfig
+) -> BinnedInstances:
+    tiles_x, tiles_y = cfg.tile_grid(width, height)
+    num_tiles = tiles_x * tiles_y
+    capacity = cfg.instance_capacity(pg.ntiles.shape[0])
+
+    tile, depth, gid, total, overflow = expand_instances(pg, tiles_x, capacity)
+
+    # Ordering must not differentiate: depth gradients flow through blending
+    # weights, not through the permutation (same as the reference, where the
+    # sort is forward-only).
+    tile_s, _, gid_s = lax.sort(
+        (tile, lax.stop_gradient(depth), gid), num_keys=2, is_stable=True
+    )
+
+    tile_range = lax.iota(jnp.int32, num_tiles)
+    start = jnp.searchsorted(tile_s, tile_range, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(tile_s, tile_range, side="right").astype(jnp.int32)
+
+    return BinnedInstances(
+        gauss_id=gid_s,
+        tile_id=tile_s,
+        tile_start=start,
+        tile_end=end,
+        num_instances=total.astype(jnp.int32),
+        overflow=overflow.astype(jnp.int32),
+    )

@@ -1,0 +1,51 @@
+"""The rendering pipeline facade.
+
+The analogue of the reference's ``Renderer`` orchestrator
+(``src/Renderer.cpp:366-426``: preprocess -> prefix sum -> key expansion ->
+radix sort -> tile boundaries -> blend), expressed as one jittable function.
+XLA's dataflow ordering replaces the reference's pipeline barriers and
+ping-pong descriptor options; donation and async dispatch replace its
+fences/frames-in-flight; there is no per-frame host readback (the
+reference's structural stall at ``src/Renderer.cpp:391-395,538``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpusplat.config import RenderConfig
+from tpusplat.ops.binning import bin_and_sort
+from tpusplat.ops.preprocess import preprocess
+from tpusplat.ops.rasterize_xla import rasterize_xla
+from tpusplat.types import Camera, GaussianParams
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_stages(params: GaussianParams, camera: Camera, cfg: RenderConfig):
+    """Full pipeline, returning the image and diagnostic aux outputs.
+
+    aux contains: transmittance map, num_instances, capacity_overflow (the
+    analogue of the reference's dynamic sort-buffer growth trigger,
+    ``src/Renderer.cpp:541-563`` — nonzero means re-jit with a larger
+    ``capacity_mult``), tile_overflow (XLA path only).
+    """
+    pg = preprocess(params, camera, cfg)
+    binned = bin_and_sort(pg, camera.width, camera.height, cfg)
+    if cfg.use_pallas:
+        from tpusplat.ops.rasterize_pallas import rasterize_pallas
+
+        img, aux = rasterize_pallas(pg, binned, camera.width, camera.height, cfg)
+    else:
+        img, aux = rasterize_xla(pg, binned, camera.width, camera.height, cfg)
+    return img, aux
+
+
+def render(params: GaussianParams, camera: Camera, cfg: RenderConfig | None = None):
+    """Render one image [H, W, 3] float32 (the ``draw()`` analogue)."""
+    if cfg is None:
+        cfg = RenderConfig()
+    img, _ = render_stages(params, camera, cfg)
+    return img
