@@ -210,3 +210,60 @@ def golden_render(params: GaussianParams, camera: Camera, cfg: RenderConfig):
                     t_acc = test_t
                 img[py, px] = c_acc
     return img
+
+
+def golden_render_jnp(params: GaussianParams, camera: Camera, cfg: RenderConfig):
+    """Independent *differentiable* golden: naive O(N * pixels) jnp blend.
+
+    Per pixel, blends all Gaussians (globally depth-sorted, stop-gradient
+    permutation) whose tile AABB covers the pixel's tile — the same discrete
+    structure as the tile pipeline, but with none of its machinery (no
+    instance expansion, no per-tile sort, no chunking). Used to cross-check
+    pipeline gradients; small scenes only.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpusplat.ops.preprocess import preprocess
+
+    pg = preprocess(params, camera, cfg)
+    w_img, h_img = camera.width, camera.height
+    tiles_x, _ = cfg.tile_grid(w_img, h_img)
+    n = pg.uv.shape[0]
+
+    order = jnp.argsort(lax.stop_gradient(jnp.where(pg.ntiles > 0, pg.depth, jnp.inf)))
+    uv = pg.uv[order]
+    conic = pg.conic[order]
+    opacity = pg.opacity[order]
+    color = pg.color[order]
+    aabb = pg.aabb[order]
+    live = (pg.ntiles > 0)[order]
+
+    px = lax.broadcasted_iota(jnp.int32, (h_img, w_img), 1).reshape(-1)
+    py = lax.broadcasted_iota(jnp.int32, (h_img, w_img), 0).reshape(-1)
+    tx = px // cfg.tile_w
+    ty = py // cfg.tile_h
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+
+    # [N, P] masks and alphas
+    covers = (
+        live[:, None]
+        & (aabb[:, 0:1] <= tx[None, :])
+        & (tx[None, :] < aabb[:, 2:3])
+        & (aabb[:, 1:2] <= ty[None, :])
+        & (ty[None, :] < aabb[:, 3:4])
+    )
+    dx = uv[:, 0:1] - pxf[None, :]
+    dy = uv[:, 1:2] - pyf[None, :]
+    a, b, c = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    alpha = jnp.minimum(cfg.alpha_max, opacity[:, None] * jnp.exp(power))
+    ok = covers & (power <= 0.0) & (alpha >= cfg.alpha_min)
+    f = jnp.where(ok, 1.0 - alpha, 1.0)
+    t_incl = jnp.cumprod(f, axis=0)
+    t_excl = t_incl / f
+    contrib = ok & (t_incl >= cfg.t_min)
+    wgt = jnp.where(contrib, alpha * t_excl, 0.0)  # [N, P]
+    rgb = jnp.einsum("np,nc->pc", wgt, color, precision="highest")
+    return rgb.reshape(h_img, w_img, 3)
