@@ -54,15 +54,25 @@ class BinnedInstances:
     overflow: jax.Array  # scalar int32: instances dropped due to capacity
 
 
-def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int):
+def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0, nrows=None):
     """Produce per-slot (tile_id, depth, gauss_id) for C static slots.
 
     Slot s belongs to the Gaussian g with off[g] <= s < off[g] + ntiles[g]
     (off = exclusive cumsum). Invalid slots get tile_id == INT32_MAX-ish
     sentinel so the sort pushes them to the end.
+
+    ``row0``/``nrows`` restrict emission to a window of tile rows
+    [row0, row0 + nrows) with *local* tile ids — the unit of tile-sharding:
+    each mesh shard expands only the instances that land in its strip.
+    ``row0`` may be a traced value (e.g. ``axis_index``); ``nrows`` is static.
     """
-    ntiles = pg.ntiles
-    n = ntiles.shape[0]
+    n = pg.ntiles.shape[0]
+    x0, y0 = pg.aabb[:, 0], pg.aabb[:, 1]
+    x1, y1 = pg.aabb[:, 2], pg.aabb[:, 3]
+    if nrows is not None:
+        y0 = jnp.clip(y0, row0, row0 + nrows)
+        y1 = jnp.clip(y1, row0, row0 + nrows)
+    ntiles = jnp.where(pg.ntiles > 0, (x1 - x0) * jnp.maximum(y1 - y0, 0), 0)
     cum = jnp.cumsum(ntiles)  # inclusive
     total = cum[-1]
 
@@ -73,11 +83,10 @@ def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int):
 
     off = cum - ntiles  # exclusive cumsum
     r = slots - off[g_safe]
-    x0, y0, y1 = pg.aabb[g_safe, 0], pg.aabb[g_safe, 1], pg.aabb[g_safe, 3]
-    bbh = jnp.maximum(y1 - y0, 1)
-    tx = x0 + r // bbh
-    ty = y0 + r % bbh
-    tile = tx + ty * tiles_x
+    bbh = jnp.maximum(y1[g_safe] - y0[g_safe], 1)
+    tx = x0[g_safe] + r // bbh
+    ty = y0[g_safe] + r % bbh
+    tile = tx + (ty - row0) * tiles_x
 
     sentinel = jnp.int32(2**31 - 1)
     tile = jnp.where(valid, tile, sentinel)
@@ -88,13 +97,23 @@ def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int):
 
 
 def bin_and_sort(
-    pg: ProcessedGaussians, width: int, height: int, cfg: RenderConfig
+    pg: ProcessedGaussians,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+    row0=0,
+    nrows: int | None = None,
+    capacity: int | None = None,
 ) -> BinnedInstances:
+    """Bin instances for the full image or a window of ``nrows`` tile rows."""
     tiles_x, tiles_y = cfg.tile_grid(width, height)
-    num_tiles = tiles_x * tiles_y
-    capacity = cfg.instance_capacity(pg.ntiles.shape[0])
+    if nrows is None:
+        nrows = tiles_y
+    num_tiles = tiles_x * nrows
+    if capacity is None:
+        capacity = cfg.instance_capacity(pg.ntiles.shape[0])
 
-    tile, depth, gid, total, overflow = expand_instances(pg, tiles_x, capacity)
+    tile, depth, gid, total, overflow = expand_instances(pg, tiles_x, capacity, row0, nrows)
 
     # Ordering must not differentiate: depth gradients flow through blending
     # weights, not through the permutation (same as the reference, where the

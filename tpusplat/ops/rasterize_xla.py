@@ -90,10 +90,17 @@ def rasterize_xla(
     width: int,
     height: int,
     cfg: RenderConfig,
+    row0=0,
+    nrows: int | None = None,
 ):
-    """Render the full image. Returns (rgb [H,W,3], aux dict)."""
+    """Render the full image, or the strip of ``nrows`` tile rows starting
+    at (possibly traced) row ``row0``. Returns (rgb [H,W,3] or
+    [nrows*tile_h, W, 3], aux dict)."""
     tiles_x, tiles_y = cfg.tile_grid(width, height)
-    num_tiles = tiles_x * tiles_y
+    strip = nrows is not None
+    if not strip:
+        nrows = tiles_y
+    num_tiles = tiles_x * nrows
     tw, th = cfg.tile_w, cfg.tile_h
     npx = tw * th
     kcap = cfg.max_per_tile
@@ -116,7 +123,7 @@ def rasterize_xla(
         gid = jnp.minimum(binned.gauss_id[idx], n - 1)  # [B, K]
 
         tx = (tile_ids % tiles_x).astype(jnp.float32)
-        ty = (tile_ids // tiles_x).astype(jnp.float32)
+        ty = (row0 + tile_ids // tiles_x).astype(jnp.float32)
         px = tx[:, None] * tw + lx[None, :].astype(jnp.float32)  # [B, P]
         py = ty[:, None] * th + ly[None, :].astype(jnp.float32)
 
@@ -142,13 +149,15 @@ def rasterize_xla(
     rgb_tiles = rgb_tiles.reshape(tiles_padded, npx, 3)[:num_tiles]
     t_tiles = t_tiles.reshape(tiles_padded, npx)[:num_tiles]
 
-    # [T, P, 3] -> [H_pad, W_pad, 3] -> crop
-    img = rgb_tiles.reshape(tiles_y, tiles_x, th, tw, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * th, tiles_x * tw, 3)
-    img = img[:height, :width]
-    tmap = t_tiles.reshape(tiles_y, tiles_x, th, tw)
-    tmap = tmap.transpose(0, 2, 1, 3).reshape(tiles_y * th, tiles_x * tw)
-    tmap = tmap[:height, :width]
+    # [T, P, 3] -> [H_pad, W_pad, 3] -> crop (height only in full-image mode;
+    # strip mode keeps all nrows*th rows so shard outputs concatenate evenly)
+    crop_h = height if not strip else nrows * th
+    img = rgb_tiles.reshape(nrows, tiles_x, th, tw, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(nrows * th, tiles_x * tw, 3)
+    img = img[:crop_h, :width]
+    tmap = t_tiles.reshape(nrows, tiles_x, th, tw)
+    tmap = tmap.transpose(0, 2, 1, 3).reshape(nrows * th, tiles_x * tw)
+    tmap = tmap[:crop_h, :width]
 
     aux = dict(
         transmittance=tmap,

@@ -40,6 +40,9 @@ def render_stages(params: GaussianParams, camera: Camera, cfg: RenderConfig):
         img, aux = rasterize_pallas(pg, binned, camera.width, camera.height, cfg)
     else:
         img, aux = rasterize_xla(pg, binned, camera.width, camera.height, cfg)
+    # Per-Gaussian visibility/extent stats for densification (train/densify.py).
+    aux["visible"] = pg.ntiles > 0
+    aux["radius"] = pg.radius
     return img, aux
 
 
