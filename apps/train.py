@@ -1,0 +1,136 @@
+"""Training driver: optimize a Gaussian scene against target images.
+
+The capability the reference leaves as a TODO (README.md:88 'Training').
+Supports synthetic self-supervision (fit a randomly-initialized model to
+renders of a reference scene — useful without datasets) and directories of
+(camera, image) pairs saved as .npz.
+
+Usage:
+  python apps/train.py --synthetic --steps 500 --out scene.ply
+  python apps/train.py --data ds_dir --steps 30000 --out scene.ply
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("tpusplat-train")
+    p.add_argument("--data", default=None, help=".npz dataset dir (cameras+images)")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--n-init", type=int, default=5000, help="initial gaussians")
+    p.add_argument("--capacity", type=int, default=0,
+                   help="slot capacity (0 = 4x n-init)")
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--sh-degree", type=int, default=2)
+    p.add_argument("--cameras", type=int, default=16)
+    p.add_argument("--densify-every", type=int, default=200)
+    p.add_argument("--densify-until", type=int, default=0, help="0 = steps//2")
+    p.add_argument("--opacity-reset-every", type=int, default=1500)
+    p.add_argument("--out", default="trained.ply")
+    p.add_argument("--ckpt", default=None, help="checkpoint path (.npz)")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--xla", action="store_true")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.ply import save_ply
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.render import render_stages
+    from tpusplat.train.checkpoint import save_checkpoint
+    from tpusplat.train.densify import DensifyConfig, densify_and_prune, reset_opacity
+    from tpusplat.train.step import create_train_state, make_optimizer, train_step
+    from tpusplat.types import GaussianParams
+
+    w, h = args.width, args.height
+    cfg = RenderConfig(sh_degree=args.sh_degree, use_pallas=not args.xla,
+                       max_per_tile=2048)
+
+    # --- data ---
+    cams, targets = [], []
+    if args.data:
+        import glob
+        import os
+
+        for f in sorted(glob.glob(os.path.join(args.data, "*.npz"))):
+            d = np.load(f)
+            from tpusplat.types import Camera
+
+            cams.append(Camera.from_matrices(
+                d["view"], d["proj"], d["cam_pos"], float(d["tan_fovx"]),
+                float(d["tan_fovy"]), int(d["width"]), int(d["height"]),
+            ))
+            targets.append(jnp.asarray(d["image"], jnp.float32))
+        w, h = cams[0].width, cams[0].height
+        scene_extent = float(np.std([np.asarray(c.cam_pos) for c in cams])) * 2 + 1.0
+    else:
+        # Self-supervised synthetic: ground-truth scene renders are targets.
+        gt = random_scene(8000, seed=42, sh_degree=args.sh_degree,
+                          scale_range=(0.05, 0.2))
+        rng = np.random.default_rng(0)
+        for i in range(args.cameras):
+            ang = 2 * np.pi * i / args.cameras
+            eye = [6 * np.sin(ang), rng.uniform(-1, 1), 6 * np.cos(ang)]
+            cam = look_at_camera(eye, [0, 0, 0], w, h, fov_deg=60.0)
+            img, _ = render_stages(gt, cam, cfg)
+            cams.append(cam)
+            targets.append(img)
+        scene_extent = 6.0
+
+    # --- init model ---
+    cap = args.capacity or 4 * args.n_init
+    init = random_scene(cap, seed=1, sh_degree=args.sh_degree, extent=3.0,
+                        scale_range=(0.05, 0.25))
+    alive = np.zeros(cap, bool)
+    alive[: args.n_init] = True
+    init = dataclasses.replace(init, alive=jnp.asarray(alive))
+
+    optimizer = make_optimizer(scene_extent=scene_extent,
+                               means_lr_max_steps=args.steps)
+    state = create_train_state(init, optimizer)
+    dcfg = DensifyConfig()
+    densify_until = args.densify_until or args.steps // 2
+    key = jax.random.key(0)
+
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        i = (step - 1) % len(cams)
+        state, metrics = train_step(state, cams[i], targets[i], cfg, optimizer)
+        if step % args.log_every == 0:
+            n_alive = int(jnp.sum(state.params.alive))
+            print(json.dumps(dict(
+                step=step, loss=round(float(metrics["loss"]), 5),
+                alive=n_alive,
+                overflow=int(metrics["capacity_overflow"]),
+                sps=round(step / (time.time() - t0), 2),
+            )), file=sys.stderr, flush=True)
+        if args.densify_every and step % args.densify_every == 0 and step <= densify_until:
+            key, sub = jax.random.split(key)
+            state = jax.jit(densify_and_prune, static_argnames=("dcfg", "scene_extent"))(
+                state, sub, dcfg, scene_extent)
+        if args.opacity_reset_every and step % args.opacity_reset_every == 0 \
+                and step <= densify_until:
+            state = reset_opacity(state)
+
+    save_ply(args.out, state.params)
+    print(f"saved {args.out}", file=sys.stderr)
+    if args.ckpt:
+        save_checkpoint(args.ckpt, state)
+        print(f"checkpointed {args.ckpt}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

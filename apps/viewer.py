@@ -1,0 +1,120 @@
+"""CLI renderer — the headless analogue of the reference viewer app
+(``apps/viewer/main.cpp:9-107``).
+
+The reference opens a GLFW window and runs an interactive loop; on TPU the
+equivalent embedding contract is load-scene + repeated ``render`` calls
+(SURVEY.md §3.4: the API serves both self-driving and externally-driven
+loops). This app renders one or more cameras to PNG/NPY files and reports
+per-stage timings (the GUI metrics overlay, §5, becomes stderr/JSON output).
+
+Flags mirror the reference CLI where meaningful (scene path, width/height,
+verbose); env vars use the TPUSPLAT_ prefix like the reference's VKGS_.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def save_png(path, img):
+    import numpy as np
+
+    arr = (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+    try:
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+        return
+    except ImportError:
+        pass
+    # Minimal PNG writer (no deps): zlib + struct.
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    png = b"\x89PNG\r\n\x1a\n"
+    png += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    png += chunk(b"IDAT", zlib.compress(raw, 6))
+    png += chunk(b"IEND", b"")
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("tpusplat-viewer", description=__doc__)
+    p.add_argument("scene", help="path to .ply scene (or 'test' for synthetic)")
+    p.add_argument("-w", "--width", type=int,
+                   default=int(os.environ.get("TPUSPLAT_WIDTH", 1280)))
+    p.add_argument("--height", type=int,
+                   default=int(os.environ.get("TPUSPLAT_HEIGHT", 720)))
+    p.add_argument("-o", "--output", default="render.png")
+    p.add_argument("--camera", type=float, nargs=3, default=[0.0, 0.0, 5.0],
+                   metavar=("X", "Y", "Z"), help="camera position")
+    p.add_argument("--target", type=float, nargs=3, default=[0.0, 0.0, 0.0])
+    p.add_argument("--fov", type=float, default=45.0)
+    p.add_argument("--sh-degree", type=int, default=3)
+    p.add_argument("--orbit", type=int, default=0,
+                   help="render N orbit frames around the target")
+    p.add_argument("--xla", action="store_true", help="use the XLA rasterizer")
+    p.add_argument("-v", "--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from tpusplat import RenderConfig, load_ply, random_scene, render_stages
+    from tpusplat.camera import look_at_camera
+
+    t0 = time.time()
+    if args.scene == "test":
+        params = random_scene(10_000, seed=0, sh_degree=args.sh_degree)
+    else:
+        params = load_ply(args.scene)
+    print(f"loaded {params.num_gaussians} gaussians in "
+          f"{(time.time() - t0) * 1e3:.0f} ms", file=sys.stderr)
+
+    cfg = RenderConfig(sh_degree=args.sh_degree, use_pallas=not args.xla)
+
+    frames = max(args.orbit, 1)
+    center = np.asarray(args.target)
+    eye0 = np.asarray(args.camera)
+    radius_vec = eye0 - center
+    for i in range(frames):
+        if args.orbit:
+            ang = 2 * np.pi * i / frames
+            rot = np.array([
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ])
+            eye = center + rot @ radius_vec
+        else:
+            eye = eye0
+        cam = look_at_camera(eye, center, args.width, args.height, fov_deg=args.fov)
+        t0 = time.time()
+        img, aux = render_stages(params, cam, cfg)
+        img.block_until_ready()
+        dt = time.time() - t0
+        out = args.output if frames == 1 else args.output.replace(
+            ".png", f"_{i:04d}.png")
+        save_png(out, img)
+        msg = dict(frame=i, ms=round(dt * 1e3, 1),
+                   instances=int(aux["num_instances"]),
+                   overflow=int(aux["capacity_overflow"]), out=out)
+        print(json.dumps(msg), file=sys.stderr)
+        if args.verbose:
+            print(f"transmittance mean {float(np.mean(aux['transmittance'])):.3f}",
+                  file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

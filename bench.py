@@ -1,0 +1,106 @@
+"""Benchmark harness: forward+backward render throughput on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+North-star metric (BASELINE.json): Mpix/s/chip at 1080p fwd+bwd on a
+~1.4M-Gaussian scene. The reference publishes no numbers (BASELINE.md);
+vs_baseline is measured against the driver target of 30 fps-equivalent at
+1080p = 62.2 Mpix/s.
+
+Env knobs:
+  BENCH_CONFIG=garden|mid|small   scene scale (default garden: 1.4M @1080p)
+  BENCH_ITERS=N                   timed iterations (default 5)
+  BENCH_FWD_ONLY=1                skip backward
+  BENCH_XLA=1                     use the XLA rasterizer instead of Pallas
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.render import render_stages
+    from tpusplat.train.step import merge_trainable, split_trainable
+
+    conf = os.environ.get("BENCH_CONFIG", "garden")
+    scale = dict(
+        garden=dict(n=1_400_000, w=1920, h=1080, sh=3, cap=8),
+        mid=dict(n=100_000, w=800, h=800, sh=3, cap=8),
+        small=dict(n=10_000, w=256, h=256, sh=0, cap=8),
+    )[conf]
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    fwd_only = os.environ.get("BENCH_FWD_ONLY", "") == "1"
+    use_pallas = os.environ.get("BENCH_XLA", "") != "1"
+
+    log(f"bench: backend={jax.default_backend()} config={conf} {scale} "
+        f"fwd_only={fwd_only} pallas={use_pallas}")
+
+    n, w, h = scale["n"], scale["w"], scale["h"]
+    params = random_scene(n, seed=0, sh_degree=scale["sh"],
+                          scale_range=(0.004, 0.04), extent=4.0)
+    cam = look_at_camera([0.0, 0.5, 9.0], [0.0, 0.0, 0.0], w, h, fov_deg=60.0)
+    cfg = RenderConfig(
+        sh_degree=scale["sh"], capacity_mult=scale["cap"],
+        use_pallas=use_pallas, max_per_tile=4096, tile_chunk=64,
+    )
+
+    trainable, alive = split_trainable(params)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+
+    if fwd_only:
+        def step(tr):
+            img, aux = render_stages(merge_trainable(tr, alive), cam, cfg)
+            return img, aux["num_instances"], aux["capacity_overflow"]
+    else:
+        def loss_fn(tr):
+            img, aux = render_stages(merge_trainable(tr, alive), cam, cfg)
+            return jnp.mean((img - target) ** 2), aux
+
+        def step(tr):
+            (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(tr)
+            return g["means"], aux["num_instances"], aux["capacity_overflow"]
+
+    step = jax.jit(step)
+
+    t0 = time.time()
+    out = step(trainable)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.time() - t0:.1f}s  "
+        f"instances={int(out[1])} overflow={int(out[2])}")
+    if int(out[2]) > 0:
+        log("WARNING: capacity overflow — raise capacity_mult")
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = step(trainable)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    mpix = w * h / 1e6 / dt
+    baseline = 62.2  # 30 fps-equivalent at 1080p (driver target)
+    mode = "fwd" if fwd_only else "fwd+bwd"
+    log(f"{mode}: {dt * 1e3:.1f} ms/frame -> {mpix:.1f} Mpix/s")
+    print(json.dumps({
+        "metric": f"{mode} Mpix/s/chip ({conf}: {n} gaussians @ {w}x{h})",
+        "value": round(mpix, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

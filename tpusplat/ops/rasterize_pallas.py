@@ -1,0 +1,511 @@
+"""Pallas TPU rasterization kernel (forward + custom VJP).
+
+The production path for K8 (``render.comp:30-99``) and the backward blend the
+reference lacks. Design (TPU-native, no atomics, no scattered writes):
+
+  * Instances are pre-gathered into depth-sorted order XLA-side (one
+    coalesced gather) and packed as a [16, C] float32 slab — attributes on
+    sublanes (uv.x, uv.y, conic a/b/c, opacity, rgb, pad), instances on
+    lanes — so windows DMA as aligned [16, WIN] slices. The reference
+    instead chases pointers per pixel (``render.comp:63-66``); on TPU a
+    contiguous stream beats random access by an order of magnitude.
+  * Grid = one program per 16x16 tile, executed sequentially ("arbitrary"
+    dimension semantics). Each program DMAs windows of WIN instances from
+    HBM using its [start, end) range (scalar-prefetched, start aligned down
+    to the 128-lane tiling with in-range lane masks), and blends chunks of
+    CK = 128 instances against all 256 pixels at once: alpha matrix
+    [CK, 256] with the chunk on sublanes (one [16,128] -> [128,16]
+    transpose per chunk) and pixels on lanes.
+  * The sequential per-Gaussian transmittance recurrence becomes an
+    inclusive cumulative product along the sublane axis (a 7-step
+    Hillis-Steele scan in registers — the same algorithm the reference
+    spends ceil(log2 N)+1 HBM dispatches on, ``prefix_sum.comp:32-52``).
+    Termination (T < 1e-4, ``render.comp:82-84``) is a contribution mask —
+    exact, because T is monotone — plus a whole-tile early exit.
+  * Backward recomputes the forward walk (front-to-back) using the saved
+    final color/transmittance: dL/dalpha_g needs the suffix color sum
+    S_after = c_final - c_incl_g, available from a running inclusive sum.
+    Per-instance gradients reduce over pixels and DMA back to a [16, C]
+    buffer. This is race-free without atomics: every instance belongs to
+    exactly one tile, the grid runs sequentially, and boundary lanes use a
+    preload-merge writeback so a tile never clobbers its neighbours' rows.
+    The per-Gaussian reduction is then a segment-sum XLA-side (the
+    transpose of the pre-gather — the 'segment reduction instead of
+    atomicAdd' strategy, SURVEY.md §7 hard part 2).
+
+Gradient semantics match the XLA path exactly (masks frozen, flow through
+alpha/T inside contributions) — verified by tests against autodiff of the
+naive golden renderer.
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusplat.config import RenderConfig
+from tpusplat.ops.binning import BinnedInstances
+from tpusplat.ops.preprocess import ProcessedGaussians
+
+WIN = 1024  # instances per DMA window (lane count of the window slab)
+CK = 128  # instances per compute chunk (sublane dim after transpose)
+ATTR_W = 16  # packed attribute rows (9 used + 7 pad)
+ALIGN = 128  # lane alignment for DMA offsets
+# attribute row layout
+A_UVX, A_UVY, A_CA, A_CB, A_CC, A_OP, A_CR, A_CG, A_CB_ = range(9)
+
+
+def _interpret() -> bool:
+    """Pallas interpreter mode off-TPU (CPU test mesh, SURVEY.md §5 race row)."""
+    return jax.default_backend() != "tpu"
+
+
+def _scan_sublane(x, op, identity):
+    """Inclusive scan along axis 0 (sublanes) via Hillis-Steele in registers."""
+    k = x.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    step = 1
+    while step < k:
+        rolled = pltpu.roll(x, shift=step, axis=0)
+        x = op(x, jnp.where(rows >= step, rolled, identity))
+        step *= 2
+    return x
+
+
+def _cumprod_sublane(x):
+    return _scan_sublane(x, lax.mul, jnp.float32(1.0))
+
+
+def _cumsum_sublane(x):
+    return _scan_sublane(x, lax.add, jnp.float32(0.0))
+
+
+def _pixel_coords(tile_id, tiles_x, tile_w, tile_h, row0):
+    """Pixel-center coordinates for this tile: two [1, P] f32 vectors."""
+    npx = tile_w * tile_h
+    tx = tile_id % tiles_x
+    ty = row0 + tile_id // tiles_x
+    p = lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+    pxf = (tx * tile_w + p % tile_w).astype(jnp.float32)
+    pyf = (ty * tile_h + p // tile_w).astype(jnp.float32)
+    return pxf, pyf
+
+
+def _chunk_attrs(attr_buf, base):
+    """Transpose one CK-wide slab of the window buffer to instance-major.
+
+    attr_buf: [ATTR_W, WIN] VMEM ref. Returns [CK, ATTR_W] array.
+    """
+    slab = attr_buf[:, pl.ds(base, CK)]  # [ATTR_W, CK]
+    return jnp.transpose(slab, (1, 0))  # [CK, ATTR_W]
+
+
+def _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg: RenderConfig):
+    """Alpha matrix for one CK-chunk given instance-major attrs [CK, ATTR_W].
+
+    ``lo``/``hi``: number of valid leading rows is rows in [lo, hi)
+    (global-index bounds already rebased to chunk-local row numbers).
+    """
+    rows = lax.broadcasted_iota(jnp.int32, (CK, 1), 0)
+    valid = (rows >= lo) & (rows < hi)
+
+    uvx = slab_t[:, A_UVX:A_UVX + 1]
+    uvy = slab_t[:, A_UVY:A_UVY + 1]
+    ca = slab_t[:, A_CA:A_CA + 1]
+    cb = slab_t[:, A_CB:A_CB + 1]
+    cc = slab_t[:, A_CC:A_CC + 1]
+    op = slab_t[:, A_OP:A_OP + 1]
+
+    dx = uvx - pxf  # [CK, P]
+    dy = uvy - pyf
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha_raw = op * jnp.exp(power)
+    alpha = jnp.minimum(jnp.float32(cfg.alpha_max), alpha_raw)
+    ok = valid & (power <= 0.0) & (alpha >= cfg.alpha_min)
+    f = jnp.where(ok, 1.0 - alpha, 1.0)
+    return dict(
+        alpha=alpha, alpha_raw=alpha_raw, ok=ok, f=f, dx=dx, dy=dy,
+        ca=ca, cb=cb, cc=cc, op=op, power=power, valid=valid,
+    )
+
+
+def _forward_kernel(
+    starts_ref, ends_ref, attr_hbm, out_ref, attr_buf, sem,
+    *, tiles_x, tile_w, tile_h, row0_static, cfg: RenderConfig,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = ends_ref[t]
+    a_start = (start // ALIGN) * ALIGN  # aligned DMA base; head lanes masked
+    npx = tile_w * tile_h
+    pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_static)
+
+    nwin = pl.cdiv(end - a_start, WIN)
+
+    def window(w, carry):
+        t_acc, cr, cg, cb_ = carry
+        off = a_start + w * WIN
+        copy = pltpu.make_async_copy(attr_hbm.at[:, pl.ds(off, WIN)], attr_buf, sem)
+        copy.start()
+        copy.wait()
+
+        def chunk(k, inner):
+            t_acc, cr, cg, cb_ = inner
+            base = pl.multiple_of(k * CK, CK)
+            slab_t = _chunk_attrs(attr_buf, base)
+            lo = start - (off + base)
+            hi = end - (off + base)
+            ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
+            cumf = _cumprod_sublane(ch["f"])
+            t_incl = t_acc * cumf  # [CK, P]
+            contrib = ch["ok"] & (t_incl >= cfg.t_min)
+            wgt = jnp.where(contrib, ch["alpha"] * t_incl / ch["f"], 0.0)
+            colr = slab_t[:, A_CR:A_CR + 1]
+            colg = slab_t[:, A_CG:A_CG + 1]
+            colb = slab_t[:, A_CB_:A_CB_ + 1]
+            cr = cr + jnp.sum(wgt * colr, axis=0, keepdims=True)
+            cg = cg + jnp.sum(wgt * colg, axis=0, keepdims=True)
+            cb_ = cb_ + jnp.sum(wgt * colb, axis=0, keepdims=True)
+            t_acc = t_incl[CK - 1:CK, :]
+            return t_acc, cr, cg, cb_
+
+        return lax.fori_loop(0, WIN // CK, chunk, (t_acc, cr, cg, cb_))
+
+    def cond(state):
+        w, (t_acc, _, _, _) = state
+        return (w < nwin) & (jnp.max(t_acc) >= cfg.t_min)
+
+    def body(state):
+        w, carry = state
+        return w + 1, window(w, carry)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        (
+            jnp.ones((1, npx), jnp.float32),
+            jnp.zeros((1, npx), jnp.float32),
+            jnp.zeros((1, npx), jnp.float32),
+            jnp.zeros((1, npx), jnp.float32),
+        ),
+    )
+    _, (t_acc, cr, cg, cb_) = lax.while_loop(cond, body, init)
+
+    out_ref[0, 0:1, :] = cr
+    out_ref[0, 1:2, :] = cg
+    out_ref[0, 2:3, :] = cb_
+    out_ref[0, 3:4, :] = t_acc
+    out_ref[0, 4:8, :] = jnp.zeros((4, npx), jnp.float32)
+
+
+def _backward_kernel(
+    starts_ref, ends_ref, attr_hbm, cot_ref, fin_ref,
+    dattr_hbm, attr_buf, grad_buf, sem, gsem,
+    *, tiles_x, tile_w, tile_h, row0_static, cfg: RenderConfig,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = ends_ref[t]
+    a_start = (start // ALIGN) * ALIGN
+    npx = tile_w * tile_h
+    pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_static)
+
+    dcr = cot_ref[0, 0:1, :]
+    dcg = cot_ref[0, 1:2, :]
+    dcb = cot_ref[0, 2:3, :]
+    dt_fin = cot_ref[0, 3:4, :]
+    fin_r = fin_ref[0, 0:1, :]
+    fin_g = fin_ref[0, 1:2, :]
+    fin_b = fin_ref[0, 2:3, :]
+    fin_t = fin_ref[0, 3:4, :]
+
+    # dT != 0 disables the compute skip (those terms touch every passing
+    # Gaussian, not only pre-termination ones).
+    dt_active = jnp.max(jnp.abs(dt_fin)) > 0.0
+
+    nwin = pl.cdiv(end - a_start, WIN)
+
+    def window(w, carry):
+        # Every window's gradient lanes MUST be written (spill-over zeros for
+        # lanes past `end` are later overwritten by their owning tile), so
+        # early exit is a compute skip, not a loop break. Out-of-range lanes
+        # (head before `start`, tail after `end`) merge the preloaded
+        # neighbour values instead of zeros.
+        t_acc0 = carry[0]
+        off = a_start + w * WIN
+        active = (jnp.max(t_acc0) >= cfg.t_min) | dt_active
+
+        # Preload existing grads (neighbour tiles' lanes) for merge.
+        gload = pltpu.make_async_copy(dattr_hbm.at[:, pl.ds(off, WIN)], grad_buf, gsem)
+        gload.start()
+        aload = pltpu.make_async_copy(attr_hbm.at[:, pl.ds(off, WIN)], attr_buf, sem)
+        aload.start()
+        gload.wait()
+        aload.wait()
+
+        def chunk(k, inner):
+            t_acc, sr, sg, sb = inner
+            base = pl.multiple_of(k * CK, CK)
+            slab_t = _chunk_attrs(attr_buf, base)
+            lo = start - (off + base)
+            hi = end - (off + base)
+            ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
+            alpha, f, ok = ch["alpha"], ch["f"], ch["ok"]
+            cumf = _cumprod_sublane(f)
+            t_incl = t_acc * cumf
+            t_excl = t_incl / f
+            contrib = ok & (t_incl >= cfg.t_min)
+            wgt = jnp.where(contrib, alpha * t_excl, 0.0)
+
+            colr = slab_t[:, A_CR:A_CR + 1]
+            colg = slab_t[:, A_CG:A_CG + 1]
+            colb = slab_t[:, A_CB_:A_CB_ + 1]
+
+            # inclusive running color sums per row position
+            incl_r = sr + _cumsum_sublane(wgt * colr)
+            incl_g = sg + _cumsum_sublane(wgt * colg)
+            incl_b = sb + _cumsum_sublane(wgt * colb)
+
+            # dL/dcolor: [CK, P] -> reduce pixels
+            g_colr = jnp.sum(wgt * dcr, axis=1, keepdims=True)
+            g_colg = jnp.sum(wgt * dcg, axis=1, keepdims=True)
+            g_colb = jnp.sum(wgt * dcb, axis=1, keepdims=True)
+
+            # dL/dalpha from color channels (contributing rows)
+            dalpha = (
+                dcr * (colr * t_excl - (fin_r - incl_r) / f)
+                + dcg * (colg * t_excl - (fin_g - incl_g) / f)
+                + dcb * (colb * t_excl - (fin_b - incl_b) / f)
+            )
+            dalpha = jnp.where(contrib, dalpha, 0.0)
+            # + transmittance cotangent (all passing rows)
+            dalpha = dalpha + jnp.where(ok, -dt_fin * fin_t / f, 0.0)
+
+            # through alpha = min(0.99, opacity * exp(power))
+            gate = ch["alpha_raw"] < cfg.alpha_max
+            da_raw = jnp.where(gate, dalpha, 0.0)
+            epow = jnp.exp(ch["power"])
+            g_op = jnp.sum(da_raw * epow, axis=1, keepdims=True)
+            dpower = da_raw * ch["alpha_raw"]
+
+            dx, dy = ch["dx"], ch["dy"]
+            g_ca = jnp.sum(dpower * (-0.5) * dx * dx, axis=1, keepdims=True)
+            g_cb = jnp.sum(dpower * (-(dx * dy)), axis=1, keepdims=True)
+            g_cc = jnp.sum(dpower * (-0.5) * dy * dy, axis=1, keepdims=True)
+            g_uvx = jnp.sum(dpower * (-(ch["ca"] * dx + ch["cb"] * dy)),
+                            axis=1, keepdims=True)
+            g_uvy = jnp.sum(dpower * (-(ch["cc"] * dy + ch["cb"] * dx)),
+                            axis=1, keepdims=True)
+
+            zeros7 = jnp.zeros((CK, ATTR_W - 9), jnp.float32)
+            g = jnp.concatenate(
+                [g_uvx, g_uvy, g_ca, g_cb, g_cc, g_op, g_colr, g_colg, g_colb,
+                 zeros7],
+                axis=1,
+            )  # [CK, ATTR_W]
+            g_t = jnp.transpose(g, (1, 0))  # [ATTR_W, CK]
+            lanes = lax.broadcasted_iota(jnp.int32, (1, CK), 1) + (off + base)
+            owned = (lanes >= start) & (lanes < end)  # [1, CK] lane mask
+            prev = grad_buf[:, pl.ds(base, CK)]
+            grad_buf[:, pl.ds(base, CK)] = jnp.where(owned, g_t, prev)
+
+            t_last = t_incl[CK - 1:CK, :]
+            return (
+                t_last,
+                incl_r[CK - 1:CK, :],
+                incl_g[CK - 1:CK, :],
+                incl_b[CK - 1:CK, :],
+            )
+
+        def compute(carry):
+            return lax.fori_loop(0, WIN // CK, chunk, carry)
+
+        def skip(carry):
+            # Zero owned lanes, preserve neighbours' preloaded lanes.
+            lanes = lax.broadcasted_iota(jnp.int32, (1, WIN), 1) + off
+            owned = (lanes >= start) & (lanes < end)
+            grad_buf[:, :] = jnp.where(owned, 0.0, grad_buf[:, :])
+            return carry
+
+        out_carry = lax.cond(active, compute, skip, carry)
+        wb = pltpu.make_async_copy(grad_buf, dattr_hbm.at[:, pl.ds(off, WIN)], gsem)
+        wb.start()
+        wb.wait()
+        return out_carry
+
+    init = (
+        jnp.ones((1, npx), jnp.float32),
+        jnp.zeros((1, npx), jnp.float32),
+        jnp.zeros((1, npx), jnp.float32),
+        jnp.zeros((1, npx), jnp.float32),
+    )
+    lax.fori_loop(0, nwin, window, init)
+
+
+def _run_forward(attr, starts, ends, *, tiles_x, num_tiles, tile_w, tile_h, row0, cfg):
+    npx = tile_w * tile_h
+    kernel = functools.partial(
+        _forward_kernel,
+        tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, row0_static=row0, cfg=cfg,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ATTR_W, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, npx), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(starts, ends, attr)
+
+
+def _run_backward(attr, starts, ends, cot, fin, *, tiles_x, num_tiles, tile_w,
+                  tile_h, row0, cfg):
+    npx = tile_w * tile_h
+    kernel = functools.partial(
+        _backward_kernel,
+        tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, row0_static=row0, cfg=cfg,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((ATTR_W, WIN), jnp.float32),
+            pltpu.VMEM((ATTR_W, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(attr.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        interpret=_interpret(),
+    )(starts, ends, attr, cot, fin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _raster_core(attr, starts, ends, num_valid, static: Any):
+    return _run_forward(attr, starts, ends, **static._asdict())
+
+
+def _raster_core_fwd(attr, starts, ends, num_valid, static):
+    out = _run_forward(attr, starts, ends, **static._asdict())
+    return out, (attr, starts, ends, num_valid, out)
+
+
+def _raster_core_bwd(static, res, cot):
+    attr, starts, ends, num_valid, out = res
+    dattr = _run_backward(attr, starts, ends, cot, out, **static._asdict())
+    # Lanes never covered by a tile range (instance slots >= num_valid, plus
+    # the WIN padding) hold stale memory — zero them so the pack-transpose
+    # scatter doesn't corrupt the clamp target Gaussian.
+    lanes = lax.broadcasted_iota(jnp.int32, (1, dattr.shape[1]), 1)
+    dattr = jnp.where(lanes < num_valid, dattr, 0.0)
+    return dattr, None, None, None
+
+
+_raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
+
+
+_RasterStatic = collections.namedtuple(
+    "_RasterStatic", ["tiles_x", "num_tiles", "tile_w", "tile_h", "row0", "cfg"]
+)
+
+
+def pack_instances(pg: ProcessedGaussians, gauss_id: jax.Array):
+    """Gather per-instance attributes into the packed [ATTR_W, C + WIN] slab.
+
+    Differentiable: the transpose is XLA's scatter-add back onto the
+    per-Gaussian arrays (the 'segment reduction instead of atomicAdd'
+    strategy, SURVEY.md §7 hard part 2).
+    """
+    n = pg.uv.shape[0]
+    safe = jnp.minimum(gauss_id, n - 1)
+    cols = [
+        pg.uv[safe, 0], pg.uv[safe, 1],
+        pg.conic[safe, 0], pg.conic[safe, 1], pg.conic[safe, 2],
+        pg.opacity[safe],
+        pg.color[safe, 0], pg.color[safe, 1], pg.color[safe, 2],
+    ]
+    attr = jnp.stack(cols, axis=0)  # [9, C]
+    return jnp.pad(attr, ((0, ATTR_W - attr.shape[0]), (0, WIN)))
+
+
+def rasterize_pallas(
+    pg: ProcessedGaussians,
+    binned: BinnedInstances,
+    width: int,
+    height: int,
+    cfg: RenderConfig,
+    row0: int = 0,
+    nrows: int | None = None,
+):
+    """Drop-in replacement for rasterize_xla running the Pallas kernels.
+
+    ``row0`` must be a static int here (the kernel bakes it into pixel
+    coordinates); the sharded path passes per-shard offsets via closure.
+    """
+    tiles_x, tiles_y = cfg.tile_grid(width, height)
+    strip = nrows is not None
+    if not strip:
+        nrows = tiles_y
+    num_tiles = tiles_x * nrows
+    tw, th = cfg.tile_w, cfg.tile_h
+
+    attr = pack_instances(pg, binned.gauss_id)
+
+    static = _RasterStatic(
+        tiles_x=tiles_x, num_tiles=num_tiles, tile_w=tw, tile_h=th,
+        row0=row0, cfg=cfg,
+    )
+    out = _raster_core(
+        attr, binned.tile_start, binned.tile_end, binned.num_instances, static
+    )
+
+    crop_h = height if not strip else nrows * th
+    rgb = out[:, 0:3, :]  # [T, 3, P]
+    img = rgb.reshape(nrows, tiles_x, 3, th, tw)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(nrows * th, tiles_x * tw, 3)
+    img = img[:crop_h, :width]
+    tmap = out[:, 3, :].reshape(nrows, tiles_x, th, tw)
+    tmap = tmap.transpose(0, 2, 1, 3).reshape(nrows * th, tiles_x * tw)
+    tmap = tmap[:crop_h, :width]
+
+    counts = binned.tile_end - binned.tile_start
+    aux = dict(
+        transmittance=tmap,
+        tile_overflow=jnp.zeros((), jnp.int32),  # kernel streams true ranges
+        capacity_overflow=binned.overflow,
+        num_instances=binned.num_instances,
+        max_tile_count=jnp.max(counts),
+    )
+    return img, aux
