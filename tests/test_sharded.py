@@ -133,3 +133,23 @@ def test_single_device_train_step_decreases_loss():
         state, m = train_step(state, cam0, target, cfg, optimizer)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_sharded_render_pallas_matches_single_device():
+    import dataclasses as dc
+
+    params, cams, cfg = _setup(batch=2)
+    cfg_pl = dc.replace(cfg, use_pallas=True)
+    mesh = make_render_mesh(data=2, tile=4)
+    img_sharded, overflow = jax.jit(
+        render_sharded, static_argnames=("cfg", "mesh")
+    )(params, cams, cfg_pl, mesh)
+    img_sharded = np.asarray(img_sharded)
+    assert int(np.asarray(overflow).sum()) == 0
+    for b in range(2):
+        cam_b = jax.tree_util.tree_map(lambda x: x[b], cams)
+        ref, _ = render_stages(params, cam_b, cfg)
+        np.testing.assert_allclose(
+            img_sharded[b], np.asarray(ref), atol=1e-5, rtol=1e-4,
+            err_msg=f"camera {b}",
+        )

@@ -137,15 +137,15 @@ def _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg: RenderConfig):
 
 
 def _forward_kernel(
-    starts_ref, ends_ref, attr_hbm, out_ref, attr_buf, sem,
-    *, tiles_x, tile_w, tile_h, row0_static, cfg: RenderConfig,
+    starts_ref, ends_ref, row0_ref, attr_hbm, out_ref, attr_buf, sem,
+    *, tiles_x, tile_w, tile_h, cfg: RenderConfig,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
     a_start = (start // ALIGN) * ALIGN  # aligned DMA base; head lanes masked
     npx = tile_w * tile_h
-    pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_static)
+    pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_ref[0])
 
     nwin = pl.cdiv(end - a_start, WIN)
 
@@ -205,16 +205,16 @@ def _forward_kernel(
 
 
 def _backward_kernel(
-    starts_ref, ends_ref, attr_hbm, cot_ref, fin_ref,
+    starts_ref, ends_ref, row0_ref, attr_hbm, cot_ref, fin_ref,
     dattr_hbm, attr_buf, grad_buf, sem, gsem,
-    *, tiles_x, tile_w, tile_h, row0_static, cfg: RenderConfig,
+    *, tiles_x, tile_w, tile_h, cfg: RenderConfig,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
     a_start = (start // ALIGN) * ALIGN
     npx = tile_w * tile_h
-    pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_static)
+    pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_ref[0])
 
     dcr = cot_ref[0, 0:1, :]
     dcg = cot_ref[0, 1:2, :]
@@ -348,14 +348,14 @@ def _backward_kernel(
     lax.fori_loop(0, nwin, window, init)
 
 
-def _run_forward(attr, starts, ends, *, tiles_x, num_tiles, tile_w, tile_h, row0, cfg):
+def _run_forward(attr, starts, ends, row0, *, tiles_x, num_tiles, tile_w, tile_h, cfg):
     npx = tile_w * tile_h
     kernel = functools.partial(
         _forward_kernel,
-        tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, row0_static=row0, cfg=cfg,
+        tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, cfg=cfg,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -374,18 +374,18 @@ def _run_forward(attr, starts, ends, *, tiles_x, num_tiles, tile_w, tile_h, row0
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(starts, ends, attr)
+    )(starts, ends, row0, attr)
 
 
-def _run_backward(attr, starts, ends, cot, fin, *, tiles_x, num_tiles, tile_w,
-                  tile_h, row0, cfg):
+def _run_backward(attr, starts, ends, row0, cot, fin, *, tiles_x, num_tiles,
+                  tile_w, tile_h, cfg):
     npx = tile_w * tile_h
     kernel = functools.partial(
         _backward_kernel,
-        tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, row0_static=row0, cfg=cfg,
+        tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, cfg=cfg,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -409,35 +409,35 @@ def _run_backward(attr, starts, ends, cot, fin, *, tiles_x, num_tiles, tile_w,
             has_side_effects=True,
         ),
         interpret=_interpret(),
-    )(starts, ends, attr, cot, fin)
+    )(starts, ends, row0, attr, cot, fin)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _raster_core(attr, starts, ends, num_valid, static: Any):
-    return _run_forward(attr, starts, ends, **static._asdict())
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _raster_core(attr, starts, ends, row0, num_valid, static: Any):
+    return _run_forward(attr, starts, ends, row0, **static._asdict())
 
 
-def _raster_core_fwd(attr, starts, ends, num_valid, static):
-    out = _run_forward(attr, starts, ends, **static._asdict())
-    return out, (attr, starts, ends, num_valid, out)
+def _raster_core_fwd(attr, starts, ends, row0, num_valid, static):
+    out = _run_forward(attr, starts, ends, row0, **static._asdict())
+    return out, (attr, starts, ends, row0, num_valid, out)
 
 
 def _raster_core_bwd(static, res, cot):
-    attr, starts, ends, num_valid, out = res
-    dattr = _run_backward(attr, starts, ends, cot, out, **static._asdict())
+    attr, starts, ends, row0, num_valid, out = res
+    dattr = _run_backward(attr, starts, ends, row0, cot, out, **static._asdict())
     # Lanes never covered by a tile range (instance slots >= num_valid, plus
     # the WIN padding) hold stale memory — zero them so the pack-transpose
     # scatter doesn't corrupt the clamp target Gaussian.
     lanes = lax.broadcasted_iota(jnp.int32, (1, dattr.shape[1]), 1)
     dattr = jnp.where(lanes < num_valid, dattr, 0.0)
-    return dattr, None, None, None
+    return dattr, None, None, None, None
 
 
 _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
 
 
 _RasterStatic = collections.namedtuple(
-    "_RasterStatic", ["tiles_x", "num_tiles", "tile_w", "tile_h", "row0", "cfg"]
+    "_RasterStatic", ["tiles_x", "num_tiles", "tile_w", "tile_h", "cfg"]
 )
 
 
@@ -471,8 +471,8 @@ def rasterize_pallas(
 ):
     """Drop-in replacement for rasterize_xla running the Pallas kernels.
 
-    ``row0`` must be a static int here (the kernel bakes it into pixel
-    coordinates); the sharded path passes per-shard offsets via closure.
+    ``row0`` may be a traced scalar (e.g. a shard's ``axis_index``-derived
+    tile-row offset); it reaches the kernel via scalar prefetch.
     """
     tiles_x, tiles_y = cfg.tile_grid(width, height)
     strip = nrows is not None
@@ -484,11 +484,12 @@ def rasterize_pallas(
     attr = pack_instances(pg, binned.gauss_id)
 
     static = _RasterStatic(
-        tiles_x=tiles_x, num_tiles=num_tiles, tile_w=tw, tile_h=th,
-        row0=row0, cfg=cfg,
+        tiles_x=tiles_x, num_tiles=num_tiles, tile_w=tw, tile_h=th, cfg=cfg,
     )
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
     out = _raster_core(
-        attr, binned.tile_start, binned.tile_end, binned.num_instances, static
+        attr, binned.tile_start, binned.tile_end, row0_arr,
+        binned.num_instances, static
     )
 
     crop_h = height if not strip else nrows * th

@@ -76,7 +76,9 @@ def _blend_tile_chunked(
         t_excl = t_incl / f
         contrib = ok & (t_incl >= cfg.t_min)
         w = jnp.where(contrib, alpha * t_excl, 0.0)  # [ck, P]
-        c_acc = c_acc + jnp.einsum("kp,kc->pc", w, colk)
+        # highest precision: default f32 einsum would route through bf16 MXU
+        # passes on TPU and cost ~3 decimal digits of image parity
+        c_acc = c_acc + jnp.einsum("kp,kc->pc", w, colk, precision="highest")
         return (c_acc, t_incl[-1]), None
 
     init = (jnp.zeros((p, 3), jnp.float32), jnp.ones((p,), jnp.float32))

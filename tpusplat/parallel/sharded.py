@@ -94,10 +94,17 @@ def render_sharded(
 
         def render_one(pg):
             binned = bin_and_sort(pg, width, height, cfg, row0, nrows, cap_shard)
-            img, aux = rasterize_xla(pg, binned, width, height, cfg, row0, nrows)
+            if cfg.use_pallas:
+                from tpusplat.ops.rasterize_pallas import rasterize_pallas
+
+                img, aux = rasterize_pallas(pg, binned, width, height, cfg, row0, nrows)
+            else:
+                img, aux = rasterize_xla(pg, binned, width, height, cfg, row0, nrows)
             return img, aux["capacity_overflow"]
 
-        strip, overflow = jax.vmap(render_one)(pg_full)
+        # lax.map (not vmap): pallas_call doesn't batch, and the per-camera
+        # work is large enough that sequencing costs nothing.
+        strip, overflow = lax.map(render_one, pg_full)
         return strip, jnp.sum(overflow)[None]
 
     strips, overflow = jax.shard_map(
