@@ -176,7 +176,11 @@ def _forward_kernel(
             t_acc = t_incl[CK - 1:CK, :]
             return t_acc, cr, cg, cb_
 
-        return lax.fori_loop(0, WIN // CK, chunk, (t_acc, cr, cg, cb_))
+        # Only the chunks that intersect [start, end): most tiles hold far
+        # fewer than WIN instances, so a fixed 8-chunk loop would waste the
+        # bulk of the kernel's compute.
+        nck = jnp.minimum(pl.cdiv(end - off, CK), WIN // CK)
+        return lax.fori_loop(0, nck, chunk, (t_acc, cr, cg, cb_))
 
     def cond(state):
         w, (t_acc, _, _, _) = state
@@ -324,7 +328,11 @@ def _backward_kernel(
             )
 
         def compute(carry):
-            return lax.fori_loop(0, WIN // CK, chunk, carry)
+            # Chunks wholly past `end` hold lanes owned by later tiles;
+            # skipping them is safe — the preloaded (stale) lanes written
+            # back are overwritten by their owner later in the grid.
+            nck = jnp.minimum(pl.cdiv(end - off, CK), WIN // CK)
+            return lax.fori_loop(0, nck, chunk, carry)
 
         def skip(carry):
             # Zero owned lanes, preserve neighbours' preloaded lanes.

@@ -147,7 +147,11 @@ def rasterize_xla(
     nbatches = -(-num_tiles // tb)
     tiles_padded = nbatches * tb
     all_tiles = jnp.minimum(lax.iota(jnp.int32, tiles_padded), num_tiles - 1)
-    rgb_tiles, t_tiles = lax.map(tile_batch, all_tiles.reshape(nbatches, tb))
+    # remat: without it the blend scan saves per-chunk [tiles, K, P] residuals
+    # for backward (tens of GB at production scale); recomputing the blend in
+    # the backward pass is the same recompute-from-start strategy the Pallas
+    # backward kernel uses.
+    rgb_tiles, t_tiles = lax.map(jax.checkpoint(tile_batch), all_tiles.reshape(nbatches, tb))
     rgb_tiles = rgb_tiles.reshape(tiles_padded, npx, 3)[:num_tiles]
     t_tiles = t_tiles.reshape(tiles_padded, npx)[:num_tiles]
 
