@@ -86,16 +86,25 @@ def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0
     valid = slots < jnp.minimum(total, capacity)
     g_safe = jnp.minimum(g, n - 1)
 
+    # Single row-gather of the packed per-Gaussian fields (much faster on
+    # TPU than five separate 1-D gathers).
     off = cum - ntiles  # exclusive cumsum
-    r = slots - off[g_safe]
-    bbh = jnp.maximum(y1[g_safe] - y0[g_safe], 1)
-    tx = x0[g_safe] + r // bbh
-    ty = y0[g_safe] + r % bbh
+    bbh = jnp.maximum(y1 - y0, 1)
+    table = jnp.stack(
+        [off, x0, y0, bbh, lax.bitcast_convert_type(pg.depth, jnp.int32)], axis=-1
+    )  # [N, 5] int32
+    rows = table[g_safe]  # [C, 5]
+
+    r = slots - rows[:, 0]
+    tx = rows[:, 1] + r // rows[:, 3]
+    ty = rows[:, 2] + r % rows[:, 3]
     tile = tx + (ty - row0) * tiles_x
 
     sentinel = jnp.int32(2**31 - 1)
     tile = jnp.where(valid, tile, sentinel)
-    depth = jnp.where(valid, pg.depth[g_safe], jnp.float32(jnp.inf))
+    depth = jnp.where(
+        valid, lax.bitcast_convert_type(rows[:, 4], jnp.float32), jnp.float32(jnp.inf)
+    )
     gid = jnp.where(valid, g_safe, n)
     overflow = jnp.maximum(total - capacity, 0)
     return tile, depth, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow

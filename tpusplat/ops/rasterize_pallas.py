@@ -458,14 +458,21 @@ def pack_instances(pg: ProcessedGaussians, gauss_id: jax.Array):
     """
     n = pg.uv.shape[0]
     safe = jnp.minimum(gauss_id, n - 1)
-    cols = [
-        pg.uv[safe, 0], pg.uv[safe, 1],
-        pg.conic[safe, 0], pg.conic[safe, 1], pg.conic[safe, 2],
-        pg.opacity[safe],
-        pg.color[safe, 0], pg.color[safe, 1], pg.color[safe, 2],
-    ]
-    attr = jnp.stack(cols, axis=0)  # [9, C]
-    return jnp.pad(attr, ((0, ATTR_W - attr.shape[0]), (0, WIN)))
+    # One contiguous row-gather of a pre-packed [N, 16] table: an order of
+    # magnitude faster on TPU than 9 separate 1-D gathers (XLA lowers row
+    # gathers to wide dynamic-slices).
+    table = jnp.concatenate(
+        [
+            pg.uv,
+            pg.conic,
+            pg.opacity[:, None],
+            pg.color,
+            jnp.zeros((n, ATTR_W - 9), pg.uv.dtype),
+        ],
+        axis=-1,
+    )  # [N, 16]
+    attr = table[safe]  # [C, 16]
+    return jnp.pad(attr.T, ((0, 0), (0, WIN)))
 
 
 def rasterize_pallas(
