@@ -54,10 +54,11 @@ from tpusplat.config import RenderConfig
 from tpusplat.ops.binning import BinnedInstances
 from tpusplat.ops.preprocess import ProcessedGaussians
 
-WIN = 1024  # instances per DMA window (lane count of the window slab)
+WIN = 512  # instances per DMA window (lane count of the window slab)
 CK = 128  # instances per compute chunk (sublane dim after transpose)
 ATTR_W = 16  # packed attribute rows (9 used + 7 pad)
 ALIGN = 128  # lane alignment for DMA offsets
+GROUP = 4  # tiles per kernel program (amortizes per-program DMA latency)
 # attribute row layout
 A_UVX, A_UVY, A_CA, A_CB, A_CC, A_OP, A_CR, A_CG, A_CB_ = range(9)
 
@@ -136,76 +137,130 @@ def _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg: RenderConfig):
     )
 
 
+def _blend_chunk(slab_t, lo, hi, pxf, pyf, cfg, inner):
+    """One CK-chunk of the forward blend; shared by both kernels' forward
+    walks. inner = (T [1,P], cr, cg, cb)."""
+    t_acc, cr, cg, cb_ = inner
+    ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
+    cumf = _cumprod_sublane(ch["f"])
+    t_incl = t_acc * cumf  # [CK, P]
+    contrib = ch["ok"] & (t_incl >= cfg.t_min)
+    wgt = jnp.where(contrib, ch["alpha"] * t_incl / ch["f"], 0.0)
+    colr = slab_t[:, A_CR:A_CR + 1]
+    colg = slab_t[:, A_CG:A_CG + 1]
+    colb = slab_t[:, A_CB_:A_CB_ + 1]
+    cr = cr + jnp.sum(wgt * colr, axis=0, keepdims=True)
+    cg = cg + jnp.sum(wgt * colg, axis=0, keepdims=True)
+    cb_ = cb_ + jnp.sum(wgt * colb, axis=0, keepdims=True)
+    return t_incl[CK - 1:CK, :], cr, cg, cb_
+
+
 def _forward_kernel(
-    starts_ref, ends_ref, row0_ref, attr_hbm, out_ref, attr_buf, sem,
+    starts_ref, ends_ref, row0_ref, attr_hbm, out_ref, head_buf, roll_buf,
+    head_sem, roll_sem,
     *, tiles_x, tile_w, tile_h, cfg: RenderConfig,
 ):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    end = ends_ref[t]
-    a_start = (start // ALIGN) * ALIGN  # aligned DMA base; head lanes masked
+    """GROUP tiles per program. DMA pipeline: the first window of every tile
+    in the group is issued up front (cross-tile overlap, the common
+    single-window case); within a tile, subsequent windows double-buffer
+    through two rolling slots (the dense-tile case)."""
+    base_t = pl.program_id(0) * GROUP
     npx = tile_w * tile_h
-    pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_ref[0])
 
-    nwin = pl.cdiv(end - a_start, WIN)
+    def tile_info(j):
+        t = base_t + j
+        start = starts_ref[t]
+        end = ends_ref[t]
+        a_start = (start // ALIGN) * ALIGN
+        return t, start, end, a_start
 
-    def window(w, carry):
-        t_acc, cr, cg, cb_ = carry
-        off = a_start + w * WIN
-        copy = pltpu.make_async_copy(attr_hbm.at[:, pl.ds(off, WIN)], attr_buf, sem)
-        copy.start()
-        copy.wait()
+    # Issue every tile's first window.
+    for j in range(GROUP):
+        _, _, _, a = tile_info(j)
+        pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(a, WIN)], head_buf.at[j], head_sem.at[j]
+        ).start()
 
-        def chunk(k, inner):
-            t_acc, cr, cg, cb_ = inner
-            base = pl.multiple_of(k * CK, CK)
-            slab_t = _chunk_attrs(attr_buf, base)
-            lo = start - (off + base)
-            hi = end - (off + base)
-            ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
-            cumf = _cumprod_sublane(ch["f"])
-            t_incl = t_acc * cumf  # [CK, P]
-            contrib = ch["ok"] & (t_incl >= cfg.t_min)
-            wgt = jnp.where(contrib, ch["alpha"] * t_incl / ch["f"], 0.0)
-            colr = slab_t[:, A_CR:A_CR + 1]
-            colg = slab_t[:, A_CG:A_CG + 1]
-            colb = slab_t[:, A_CB_:A_CB_ + 1]
-            cr = cr + jnp.sum(wgt * colr, axis=0, keepdims=True)
-            cg = cg + jnp.sum(wgt * colg, axis=0, keepdims=True)
-            cb_ = cb_ + jnp.sum(wgt * colb, axis=0, keepdims=True)
-            t_acc = t_incl[CK - 1:CK, :]
-            return t_acc, cr, cg, cb_
+    for j in range(GROUP):
+        t, start, end, a_start = tile_info(j)
+        pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_ref[0])
+        nwin = pl.cdiv(end - a_start, WIN)
 
-        # Only the chunks that intersect [start, end): most tiles hold far
-        # fewer than WIN instances, so a fixed 8-chunk loop would waste the
-        # bulk of the kernel's compute.
-        nck = jnp.minimum(pl.cdiv(end - off, CK), WIN // CK)
-        return lax.fori_loop(0, nck, chunk, (t_acc, cr, cg, cb_))
+        def chunks_of(buf_ref, off, carry):
+            def chunk(k, inner):
+                base = pl.multiple_of(k * CK, CK)
+                slab_t = jnp.transpose(buf_ref[:, pl.ds(base, CK)], (1, 0))
+                lo = start - (off + base)
+                hi = end - (off + base)
+                return _blend_chunk(slab_t, lo, hi, pxf, pyf, cfg, inner)
 
-    def cond(state):
-        w, (t_acc, _, _, _) = state
-        return (w < nwin) & (jnp.max(t_acc) >= cfg.t_min)
+            nck = jnp.clip(pl.cdiv(end - off, CK), 0, WIN // CK)
+            return lax.fori_loop(0, nck, chunk, carry)
 
-    def body(state):
-        w, carry = state
-        return w + 1, window(w, carry)
-
-    init = (
-        jnp.zeros((), jnp.int32),
-        (
+        carry = (
             jnp.ones((1, npx), jnp.float32),
             jnp.zeros((1, npx), jnp.float32),
             jnp.zeros((1, npx), jnp.float32),
             jnp.zeros((1, npx), jnp.float32),
-        ),
-    )
-    _, (t_acc, cr, cg, cb_) = lax.while_loop(cond, body, init)
+        )
 
-    out_ref[0, 0:1, :] = cr
-    out_ref[0, 1:2, :] = cg
-    out_ref[0, 2:3, :] = cb_
-    out_ref[0, 3:4, :] = t_acc
-    out_ref[0, 4:8, :] = jnp.zeros((4, npx), jnp.float32)
+        # Window 0 (always issued; empty tiles still drain the semaphore).
+        pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(a_start, WIN)], head_buf.at[j], head_sem.at[j]
+        ).wait()
+
+        @pl.when(nwin >= 2)
+        def _():
+            pltpu.make_async_copy(
+                attr_hbm.at[:, pl.ds(a_start + WIN, WIN)], roll_buf.at[0],
+                roll_sem.at[0],
+            ).start()
+
+        carry = chunks_of(head_buf.at[j], a_start, carry)
+
+        # Windows 1..nwin-1, double-buffered, with whole-tile early exit.
+        def wcond(state):
+            w, inner = state
+            return (w < nwin) & (jnp.max(inner[0]) >= cfg.t_min)
+
+        def wbody(state):
+            w, inner = state
+            slot = (w - 1) % 2
+            off = a_start + w * WIN
+            pltpu.make_async_copy(
+                attr_hbm.at[:, pl.ds(off, WIN)], roll_buf.at[slot],
+                roll_sem.at[slot],
+            ).wait()
+
+            @pl.when(w + 1 < nwin)
+            def _():
+                pltpu.make_async_copy(
+                    attr_hbm.at[:, pl.ds(off + WIN, WIN)], roll_buf.at[w % 2],
+                    roll_sem.at[w % 2],
+                ).start()
+
+            inner = chunks_of(roll_buf.at[slot], off, inner)
+            return w + 1, inner
+
+        w_fin, carry = lax.while_loop(wcond, wbody, (jnp.int32(1), carry))
+
+        # Early exit leaves one issued-but-unwaited window; drain it so the
+        # rolling semaphores are clean for the next tile (scratch persists
+        # across tiles and grid steps).
+        @pl.when((w_fin < nwin) & (nwin >= 2))
+        def _():
+            pltpu.make_async_copy(
+                attr_hbm.at[:, pl.ds(a_start + w_fin * WIN, WIN)],
+                roll_buf.at[(w_fin - 1) % 2],
+                roll_sem.at[(w_fin - 1) % 2],
+            ).wait()
+
+        t_acc, cr, cg, cb_ = carry
+        out_ref[j, 0:1, :] = cr
+        out_ref[j, 1:2, :] = cg
+        out_ref[j, 2:3, :] = cb_
+        out_ref[j, 3:4, :] = t_acc
+        out_ref[j, 4:8, :] = jnp.zeros((4, npx), jnp.float32)
 
 
 def _backward_kernel(
@@ -362,22 +417,25 @@ def _run_forward(attr, starts, ends, row0, *, tiles_x, num_tiles, tile_w, tile_h
         _forward_kernel,
         tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, cfg=cfg,
     )
+    t_pad = -(-num_tiles // GROUP) * GROUP  # starts/ends are pre-padded
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(t_pad // GROUP,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            (GROUP, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((ATTR_W, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((GROUP, ATTR_W, WIN), jnp.float32),
+            pltpu.VMEM((2, ATTR_W, WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA((GROUP,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, npx), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 8, npx), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -392,9 +450,10 @@ def _run_backward(attr, starts, ends, row0, cot, fin, *, tiles_x, num_tiles,
         _backward_kernel,
         tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, cfg=cfg,
     )
+    t_pad = -(-num_tiles // GROUP) * GROUP
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(t_pad,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -502,10 +561,12 @@ def rasterize_pallas(
         tiles_x=tiles_x, num_tiles=num_tiles, tile_w=tw, tile_h=th, cfg=cfg,
     )
     row0_arr = jnp.asarray(row0, jnp.int32).reshape(1)
-    out = _raster_core(
-        attr, binned.tile_start, binned.tile_end, row0_arr,
-        binned.num_instances, static
-    )
+    # Pad the tile tables to a GROUP multiple; padded tiles are empty ranges.
+    t_pad = -(-num_tiles // GROUP) * GROUP
+    starts = jnp.pad(binned.tile_start, (0, t_pad - num_tiles))
+    ends = jnp.pad(binned.tile_end, (0, t_pad - num_tiles))
+    out = _raster_core(attr, starts, ends, row0_arr, binned.num_instances, static)
+    out = out[:num_tiles]
 
     crop_h = height if not strip else nrows * th
     rgb = out[:, 0:3, :]  # [T, 3, P]
