@@ -37,10 +37,12 @@ def main():
     from tpusplat.train.step import merge_trainable, split_trainable
 
     conf = os.environ.get("BENCH_CONFIG", "garden")
+    # garden mimics Mip-NeRF360-scale stats: ~1M visible Gaussians, ~4.2M
+    # instances at 1080p (mean 4.1 tiles/Gaussian) — calibrated via preprocess.
     scale = dict(
-        garden=dict(n=1_400_000, w=1920, h=1080, sh=3, cap=8),
-        mid=dict(n=100_000, w=800, h=800, sh=3, cap=8),
-        small=dict(n=10_000, w=256, h=256, sh=0, cap=8),
+        garden=dict(n=1_400_000, w=1920, h=1080, sh=3, cap=4, srange=(0.002, 0.02)),
+        mid=dict(n=100_000, w=800, h=800, sh=3, cap=8, srange=(0.004, 0.04)),
+        small=dict(n=10_000, w=256, h=256, sh=0, cap=8, srange=(0.004, 0.04)),
     )[conf]
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     fwd_only = os.environ.get("BENCH_FWD_ONLY", "") == "1"
@@ -51,7 +53,7 @@ def main():
 
     n, w, h = scale["n"], scale["w"], scale["h"]
     params = random_scene(n, seed=0, sh_degree=scale["sh"],
-                          scale_range=(0.004, 0.04), extent=4.0)
+                          scale_range=scale["srange"], extent=4.0)
     cam = look_at_camera([0.0, 0.5, 9.0], [0.0, 0.0, 0.0], w, h, fov_deg=60.0)
     cfg = RenderConfig(
         sh_degree=scale["sh"], capacity_mult=scale["cap"],

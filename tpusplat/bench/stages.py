@@ -21,14 +21,29 @@ from tpusplat.ops.rasterize_xla import rasterize_xla
 from tpusplat.types import Camera, GaussianParams
 
 
+def _force(out):
+    """Synchronize via a host transfer of one element — block_until_ready
+    can be a no-op on tunneled/remote backends."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
+
 def _timeit(fn, *args, iters=5):
     out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3, out  # ms
+    _force(out)
+
+    def run(k):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(k):
+            o = fn(*args)
+        _force(o)
+        return time.perf_counter() - t0
+
+    k1 = max(1, iters // 2)
+    t1 = run(k1)
+    t2 = run(k1 + iters)
+    return (t2 - t1) / iters * 1e3, out  # ms
 
 
 def time_stages(params: GaussianParams, camera: Camera, cfg: RenderConfig,

@@ -76,13 +76,11 @@ def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0
     cum = jnp.cumsum(ntiles)  # inclusive
     total = cum[-1]
 
-    # Owner lookup g[s] = #{i : cum[i] <= s} — a vectorized binary search
-    # (searchsorted) costs ~log2(N) gather rounds over all C slots; instead
-    # histogram the cumsum values and integrate: one sorted scatter-add of N
-    # marks plus one cumsum over C (the same trick K3+K4 use in reverse).
+    # Owner lookup g[s] = #{i : cum[i] <= s}: vectorized binary search.
+    # (A histogram+cumsum formulation would avoid the log2(N) gather rounds,
+    # but XLA TPU lowers large non-unique scatter-adds to serial loops.)
     slots = lax.iota(jnp.int32, capacity)
-    marks = jnp.zeros((capacity,), jnp.int32).at[cum].add(1, mode="drop")
-    g = jnp.cumsum(marks)
+    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
     valid = slots < jnp.minimum(total, capacity)
     g_safe = jnp.minimum(g, n - 1)
 
@@ -136,11 +134,11 @@ def bin_and_sort(
         (tile, lax.stop_gradient(depth), gid), num_keys=2, is_stable=True
     )
 
-    # Tile ranges from the sorted tile ids (K7 analogue): histogram + scan
-    # instead of per-tile binary searches. Sentinel ids scatter-drop.
-    counts = jnp.zeros((num_tiles,), jnp.int32).at[tile_s].add(1, mode="drop")
-    end = jnp.cumsum(counts)
-    start = end - counts
+    # Tile ranges from the sorted tile ids (K7 analogue): T binary searches
+    # over the sorted ids — negligible next to the instance-level work.
+    tile_range = lax.iota(jnp.int32, num_tiles)
+    start = jnp.searchsorted(tile_s, tile_range, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(tile_s, tile_range, side="right").astype(jnp.int32)
 
     return BinnedInstances(
         gauss_id=gid_s,
