@@ -41,6 +41,46 @@ from tpusplat.config import RenderConfig
 from tpusplat.ops.preprocess import ProcessedGaussians
 
 
+def searchsorted_right(a: jax.Array, v: jax.Array) -> jax.Array:
+    """Vectorized binary search: #{i : a[i] <= v} for sorted ``a``.
+
+    Drop-in for ``jnp.searchsorted(a, v, side="right")``, which as of JAX
+    0.9 takes minutes to compile for large operands on TPU; this is a plain
+    ceil(log2 N)-step fori_loop of gathers (compiles in seconds, same
+    runtime).
+    """
+    n = a.shape[0]
+    iters = max(1, (n - 1).bit_length())
+    lo = jnp.zeros(v.shape, jnp.int32)
+    hi = jnp.full(v.shape, n, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        go_right = a[jnp.minimum(mid, n - 1)] <= v
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
+def searchsorted_left(a: jax.Array, v: jax.Array) -> jax.Array:
+    """#{i : a[i] < v} for sorted ``a`` (side='left' analogue)."""
+    n = a.shape[0]
+    iters = max(1, (n - 1).bit_length())
+    lo = jnp.zeros(v.shape, jnp.int32)
+    hi = jnp.full(v.shape, n, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        go_right = a[jnp.minimum(mid, n - 1)] < v
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BinnedInstances:
@@ -80,7 +120,7 @@ def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0
     # (A histogram+cumsum formulation would avoid the log2(N) gather rounds,
     # but XLA TPU lowers large non-unique scatter-adds to serial loops.)
     slots = lax.iota(jnp.int32, capacity)
-    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    g = searchsorted_right(cum, slots)
     valid = slots < jnp.minimum(total, capacity)
     g_safe = jnp.minimum(g, n - 1)
 
@@ -137,8 +177,8 @@ def bin_and_sort(
     # Tile ranges from the sorted tile ids (K7 analogue): T binary searches
     # over the sorted ids — negligible next to the instance-level work.
     tile_range = lax.iota(jnp.int32, num_tiles)
-    start = jnp.searchsorted(tile_s, tile_range, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(tile_s, tile_range, side="right").astype(jnp.int32)
+    start = searchsorted_left(tile_s, tile_range)
+    end = searchsorted_right(tile_s, tile_range)
 
     return BinnedInstances(
         gauss_id=gid_s,
