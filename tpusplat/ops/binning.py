@@ -94,12 +94,19 @@ class BinnedInstances:
     overflow: jax.Array  # scalar int32: instances dropped due to capacity
 
 
-def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0, nrows=None):
-    """Produce per-slot (tile_id, depth, gauss_id) for C static slots.
+def expand_instances(
+    pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0, nrows=None,
+    depth_order: jax.Array | None = None,
+):
+    """Produce per-slot (tile_id, gauss_id) for C static slots.
 
     Slot s belongs to the Gaussian g with off[g] <= s < off[g] + ntiles[g]
     (off = exclusive cumsum). Invalid slots get tile_id == INT32_MAX-ish
     sentinel so the sort pushes them to the end.
+
+    ``depth_order`` (a permutation of [N]) emits Gaussians in that order —
+    with a stable depth argsort this makes every slot sequence depth-major,
+    so downstream only needs a single-key stable sort by tile.
 
     ``row0``/``nrows`` restrict emission to a window of tile rows
     [row0, row0 + nrows) with *local* tile ids — the unit of tile-sharding:
@@ -113,26 +120,35 @@ def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0
         y0 = jnp.clip(y0, row0, row0 + nrows)
         y1 = jnp.clip(y1, row0, row0 + nrows)
     ntiles = jnp.where(pg.ntiles > 0, (x1 - x0) * jnp.maximum(y1 - y0, 0), 0)
+
+    # Per-Gaussian fields packed for one row-gather (much faster on TPU than
+    # separate 1-D gathers), in emission order.
+    bbh = jnp.maximum(y1 - y0, 1)
+    table = jnp.stack([jnp.zeros_like(bbh), x0, y0, bbh], axis=-1)  # [N, 4]
+    ids = lax.iota(jnp.int32, n)
+    if depth_order is not None:
+        ntiles = ntiles[depth_order]
+        table = table[depth_order]
+        ids = depth_order.astype(jnp.int32)
+
     cum = jnp.cumsum(ntiles)  # inclusive
+    off = cum - ntiles  # exclusive
+    table = table.at[:, 0].set(off)
     total = cum[-1]
 
-    # Owner lookup g[s] = #{i : cum[i] <= s}: vectorized binary search.
-    # (A histogram+cumsum formulation would avoid the log2(N) gather rounds,
-    # but XLA TPU lowers large non-unique scatter-adds to serial loops.)
+    # Owner lookup g[s] = #{i : cum[i] <= s}. The off values of non-empty
+    # Gaussians are strictly increasing, so a unique-index scatter-max of
+    # (i+1) at off[i] followed by a cumulative max yields the owner in O(C)
+    # — no binary search (log2 N gather rounds) needed.
     slots = lax.iota(jnp.int32, capacity)
-    g = searchsorted_right(cum, slots)
-    valid = slots < jnp.minimum(total, capacity)
-    g_safe = jnp.minimum(g, n - 1)
+    marks = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.where(ntiles > 0, off, capacity)
+    ].max(lax.iota(jnp.int32, n) + 1, mode="drop", unique_indices=True)
+    g = lax.cummax(marks) - 1  # emission-order owner; -1 before first
+    valid = (slots < jnp.minimum(total, capacity)) & (g >= 0)
+    g_safe = jnp.clip(g, 0, n - 1)
 
-    # Single row-gather of the packed per-Gaussian fields (much faster on
-    # TPU than five separate 1-D gathers).
-    off = cum - ntiles  # exclusive cumsum
-    bbh = jnp.maximum(y1 - y0, 1)
-    table = jnp.stack(
-        [off, x0, y0, bbh, lax.bitcast_convert_type(pg.depth, jnp.int32)], axis=-1
-    )  # [N, 5] int32
-    rows = table[g_safe]  # [C, 5]
-
+    rows = table[g_safe]  # [C, 4]
     r = slots - rows[:, 0]
     tx = rows[:, 1] + r // rows[:, 3]
     ty = rows[:, 2] + r % rows[:, 3]
@@ -140,12 +156,9 @@ def expand_instances(pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0
 
     sentinel = jnp.int32(2**31 - 1)
     tile = jnp.where(valid, tile, sentinel)
-    depth = jnp.where(
-        valid, lax.bitcast_convert_type(rows[:, 4], jnp.float32), jnp.float32(jnp.inf)
-    )
-    gid = jnp.where(valid, g_safe, n)
+    gid = jnp.where(valid, ids[g_safe], n)
     overflow = jnp.maximum(total - capacity, 0)
-    return tile, depth, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow
+    return tile, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow
 
 
 def bin_and_sort(
@@ -165,14 +178,21 @@ def bin_and_sort(
     if capacity is None:
         capacity = cfg.instance_capacity(pg.ntiles.shape[0])
 
-    tile, depth, gid, total, overflow = expand_instances(pg, tiles_x, capacity, row0, nrows)
-
-    # Ordering must not differentiate: depth gradients flow through blending
-    # weights, not through the permutation (same as the reference, where the
-    # sort is forward-only).
-    tile_s, _, gid_s = lax.sort(
-        (tile, lax.stop_gradient(depth), gid), num_keys=2, is_stable=True
+    # Depth pre-sort over Gaussians (N, stable) so instance emission is
+    # depth-major and the big C-sort needs only the tile key. Parity: the
+    # reference's stable radix sort orders by (tile, depth) with ties broken
+    # by emission (gaussian-index) order — a stable argsort by depth followed
+    # by a stable tile sort produces the identical permutation. Ordering
+    # must not differentiate (the reference's sort is forward-only).
+    depth_key = lax.stop_gradient(
+        jnp.where(pg.ntiles > 0, pg.depth, jnp.float32(jnp.inf))
     )
+    depth_order = jnp.argsort(depth_key, stable=True)
+
+    tile, gid, total, overflow = expand_instances(
+        pg, tiles_x, capacity, row0, nrows, depth_order
+    )
+    tile_s, gid_s = lax.sort((tile, gid), num_keys=1, is_stable=True)
 
     # Tile ranges from the sorted tile ids (K7 analogue): T binary searches
     # over the sorted ids — negligible next to the instance-level work.
