@@ -50,15 +50,19 @@ def searchsorted_right(a: jax.Array, v: jax.Array) -> jax.Array:
     runtime).
     """
     n = a.shape[0]
-    iters = max(1, (n - 1).bit_length())
+    iters = max(1, n.bit_length())
     lo = jnp.zeros(v.shape, jnp.int32)
     hi = jnp.full(v.shape, n, jnp.int32)
 
     def body(_, lohi):
         lo, hi = lohi
+        active = lo < hi
         mid = (lo + hi) // 2
-        go_right = a[jnp.minimum(mid, n - 1)] <= v
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+        go_right = active & (a[jnp.minimum(mid, n - 1)] <= v)
+        return (
+            jnp.where(go_right, mid + 1, lo),
+            jnp.where(active & ~go_right, mid, hi),
+        )
 
     lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
     return lo
@@ -67,15 +71,19 @@ def searchsorted_right(a: jax.Array, v: jax.Array) -> jax.Array:
 def searchsorted_left(a: jax.Array, v: jax.Array) -> jax.Array:
     """#{i : a[i] < v} for sorted ``a`` (side='left' analogue)."""
     n = a.shape[0]
-    iters = max(1, (n - 1).bit_length())
+    iters = max(1, n.bit_length())
     lo = jnp.zeros(v.shape, jnp.int32)
     hi = jnp.full(v.shape, n, jnp.int32)
 
     def body(_, lohi):
         lo, hi = lohi
+        active = lo < hi
         mid = (lo + hi) // 2
-        go_right = a[jnp.minimum(mid, n - 1)] < v
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+        go_right = active & (a[jnp.minimum(mid, n - 1)] < v)
+        return (
+            jnp.where(go_right, mid + 1, lo),
+            jnp.where(active & ~go_right, mid, hi),
+        )
 
     lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
     return lo
