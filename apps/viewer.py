@@ -13,6 +13,11 @@ verbose); env vars use the TPUSPLAT_ prefix like the reference's VKGS_.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os
