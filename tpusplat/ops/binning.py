@@ -129,20 +129,25 @@ def expand_instances(
         y1 = jnp.clip(y1, row0, row0 + nrows)
     ntiles = jnp.where(pg.ntiles > 0, (x1 - x0) * jnp.maximum(y1 - y0, 0), 0)
 
-    # Per-Gaussian fields packed for one row-gather (much faster on TPU than
-    # separate 1-D gathers), in emission order.
+    # Per-Gaussian fields packed for ONE row-gather (every extra [C]-sized
+    # gather costs ~20 ms at production scale), in emission order.
     bbh = jnp.maximum(y1 - y0, 1)
-    table = jnp.stack([jnp.zeros_like(bbh), x0, y0, bbh], axis=-1)  # [N, 4]
     ids = lax.iota(jnp.int32, n)
     if depth_order is not None:
-        ntiles = ntiles[depth_order]
-        table = table[depth_order]
-        ids = depth_order.astype(jnp.int32)
+        sel = depth_order
+        x0e, y0e, bbhe, ntiles = x0[sel], y0[sel], bbh[sel], ntiles[sel]
+        ids = sel.astype(jnp.int32)
+    else:
+        x0e, y0e, bbhe = x0, y0, bbh
 
     cum = jnp.cumsum(ntiles)  # inclusive
     off = cum - ntiles  # exclusive
-    table = table.at[:, 0].set(off)
     total = cum[-1]
+    inv_bbh = 1.0 / bbhe.astype(jnp.float32)  # exact for the small ints here
+    table = jnp.stack(
+        [off, x0e, y0e, bbhe, ids, lax.bitcast_convert_type(inv_bbh, jnp.int32)],
+        axis=-1,
+    )  # [N, 6]
 
     # Owner lookup g[s] = #{i : cum[i] <= s}. The off values of non-empty
     # Gaussians are strictly increasing, so a unique-index scatter-max of
@@ -156,15 +161,22 @@ def expand_instances(
     valid = (slots < jnp.minimum(total, capacity)) & (g >= 0)
     g_safe = jnp.clip(g, 0, n - 1)
 
-    rows = table[g_safe]  # [C, 4]
+    rows = table[g_safe]  # [C, 6]
     r = slots - rows[:, 0]
-    tx = rows[:, 1] + r // rows[:, 3]
-    ty = rows[:, 2] + r % rows[:, 3]
-    tile = tx + (ty - row0) * tiles_x
+    # Integer div via float reciprocal (TPU has no hardware int div). The
+    # +0.5 bias keeps the true quotient at least 0.5/bbh > 2^-8 away from an
+    # integer, far beyond f32 rounding error for r < 2^13 — so floor is
+    # exactly floor(r / bbh).
+    q = jnp.floor(
+        (r.astype(jnp.float32) + 0.5)
+        * lax.bitcast_convert_type(rows[:, 5], jnp.float32)
+    ).astype(jnp.int32)
+    rem = r - q * rows[:, 3]
+    tile = rows[:, 1] + q + (rows[:, 2] + rem - row0) * tiles_x
 
     sentinel = jnp.int32(2**31 - 1)
     tile = jnp.where(valid, tile, sentinel)
-    gid = jnp.where(valid, ids[g_safe], n)
+    gid = jnp.where(valid, rows[:, 4], n)
     overflow = jnp.maximum(total - capacity, 0)
     return tile, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow
 
