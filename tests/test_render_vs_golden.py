@@ -56,3 +56,21 @@ def test_empty_scene_black_image():
     img, aux = render_stages(params, cam, RenderConfig(max_per_tile=64))
     assert np.asarray(img).max() == 0.0
     assert int(aux["num_instances"]) == 0
+
+
+def test_render_batch_matches_individual():
+    import jax
+
+    from tpusplat.render import render_batch
+    from tpusplat.types import stack_cameras
+
+    params = random_scene(200, seed=3, sh_degree=0)
+    cams = stack_cameras(
+        [look_at_camera([i - 1.0, 0, 6.0], [0, 0, 0], 64, 64) for i in range(3)]
+    )
+    cfg = RenderConfig(sh_degree=0, max_per_tile=128, tile_chunk=4)
+    batch = np.asarray(jax.jit(render_batch, static_argnames="cfg")(params, cams, cfg))
+    for i in range(3):
+        cam = jax.tree_util.tree_map(lambda x: x[i], cams)
+        ref, _ = render_stages(params, cam, cfg)
+        np.testing.assert_allclose(batch[i], np.asarray(ref), atol=1e-6)

@@ -52,3 +52,30 @@ def render(params: GaussianParams, camera: Camera, cfg: RenderConfig | None = No
         cfg = RenderConfig()
     img, _ = render_stages(params, camera, cfg)
     return img
+
+
+def render_batch(params: GaussianParams, cameras: Camera, cfg: RenderConfig | None = None):
+    """Render a batch of same-resolution cameras on one device.
+
+    ``cameras`` is a stacked Camera (see ``types.stack_cameras``). Uses
+    ``lax.map`` so the Pallas kernels (which do not batch) run per camera;
+    per-camera work is large enough that sequencing is free.
+    """
+    if cfg is None:
+        cfg = RenderConfig()
+    import jax
+    from jax import lax
+
+    w, h = cameras.width, cameras.height
+
+    def one(cam_leaves):
+        v, pr, cp, tx, ty = cam_leaves
+        cam = Camera(view=v, proj=pr, cam_pos=cp, tan_fovx=tx, tan_fovy=ty,
+                     width=w, height=h)
+        img, _ = render_stages(params, cam, cfg)
+        return img
+
+    return lax.map(
+        one, (cameras.view, cameras.proj, cameras.cam_pos,
+              cameras.tan_fovx, cameras.tan_fovy)
+    )
