@@ -99,13 +99,20 @@ def _pixel_coords(tile_id, tiles_x, tile_w, tile_h, row0):
     return pxf, pyf
 
 
-def _chunk_attrs(attr_buf, base):
-    """Transpose one CK-wide slab of the window buffer to instance-major.
+def _dot(a, b):
+    """f32 MXU matmul (contraction on a's last / b's first dim)."""
+    return lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
 
-    attr_buf: [ATTR_W, WIN] VMEM ref. Returns [CK, ATTR_W] array.
-    """
-    slab = attr_buf[:, pl.ds(base, CK)]  # [ATTR_W, CK]
-    return jnp.transpose(slab, (1, 0))  # [CK, ATTR_W]
+
+def _excl_from_incl(cumf):
+    """Exclusive scan result from the inclusive one (shift rows down by one,
+    first row = identity) — replaces a [CK, P] divide by f."""
+    rows = lax.broadcasted_iota(jnp.int32, cumf.shape, 0)
+    return jnp.where(rows >= 1, pltpu.roll(cumf, shift=1, axis=0), 1.0)
 
 
 def _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg: RenderConfig):
@@ -127,32 +134,31 @@ def _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg: RenderConfig):
     dx = uvx - pxf  # [CK, P]
     dy = uvy - pyf
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha_raw = op * jnp.exp(power)
+    epow = jnp.exp(power)
+    alpha_raw = op * epow
     alpha = jnp.minimum(jnp.float32(cfg.alpha_max), alpha_raw)
     ok = valid & (power <= 0.0) & (alpha >= cfg.alpha_min)
     f = jnp.where(ok, 1.0 - alpha, 1.0)
     return dict(
-        alpha=alpha, alpha_raw=alpha_raw, ok=ok, f=f, dx=dx, dy=dy,
-        ca=ca, cb=cb, cc=cc, op=op, power=power, valid=valid,
+        alpha=alpha, alpha_raw=alpha_raw, epow=epow, ok=ok, f=f,
+        uvx=uvx, uvy=uvy, ca=ca, cb=cb, cc=cc, op=op, power=power, valid=valid,
     )
 
 
-def _blend_chunk(slab_t, lo, hi, pxf, pyf, cfg, inner):
-    """One CK-chunk of the forward blend; shared by both kernels' forward
-    walks. inner = (T [1,P], cr, cg, cb)."""
-    t_acc, cr, cg, cb_ = inner
+def _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg, inner):
+    """One CK-chunk of the forward blend. inner = (T [1,P], c3 [3,P])."""
+    t_acc, c3 = inner
+    slab_t = jnp.transpose(buf_ref[:, pl.ds(base, CK)], (1, 0))  # [CK, ATTR_W]
     ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
     cumf = _cumprod_sublane(ch["f"])
     t_incl = t_acc * cumf  # [CK, P]
+    t_excl = t_acc * _excl_from_incl(cumf)
     contrib = ch["ok"] & (t_incl >= cfg.t_min)
-    wgt = jnp.where(contrib, ch["alpha"] * t_incl / ch["f"], 0.0)
-    colr = slab_t[:, A_CR:A_CR + 1]
-    colg = slab_t[:, A_CG:A_CG + 1]
-    colb = slab_t[:, A_CB_:A_CB_ + 1]
-    cr = cr + jnp.sum(wgt * colr, axis=0, keepdims=True)
-    cg = cg + jnp.sum(wgt * colg, axis=0, keepdims=True)
-    cb_ = cb_ + jnp.sum(wgt * colb, axis=0, keepdims=True)
-    return t_incl[CK - 1:CK, :], cr, cg, cb_
+    wgt = jnp.where(contrib, ch["alpha"] * t_excl, 0.0)
+    # Color accumulation as one MXU matmul: col3 [3, CK] @ wgt [CK, P].
+    col3 = buf_ref[A_CR:A_CB_ + 1, pl.ds(base, CK)]
+    c3 = c3 + _dot(col3, wgt)
+    return t_incl[CK - 1:CK, :], c3
 
 
 def _forward_kernel(
@@ -189,19 +195,16 @@ def _forward_kernel(
         def chunks_of(buf_ref, off, carry):
             def chunk(k, inner):
                 base = pl.multiple_of(k * CK, CK)
-                slab_t = jnp.transpose(buf_ref[:, pl.ds(base, CK)], (1, 0))
                 lo = start - (off + base)
                 hi = end - (off + base)
-                return _blend_chunk(slab_t, lo, hi, pxf, pyf, cfg, inner)
+                return _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg, inner)
 
             nck = jnp.clip(pl.cdiv(end - off, CK), 0, WIN // CK)
             return lax.fori_loop(0, nck, chunk, carry)
 
         carry = (
             jnp.ones((1, npx), jnp.float32),
-            jnp.zeros((1, npx), jnp.float32),
-            jnp.zeros((1, npx), jnp.float32),
-            jnp.zeros((1, npx), jnp.float32),
+            jnp.zeros((3, npx), jnp.float32),
         )
 
         # Window 0 (always issued; empty tiles still drain the semaphore).
@@ -255,10 +258,8 @@ def _forward_kernel(
                 roll_sem.at[(w_fin - 1) % 2],
             ).wait()
 
-        t_acc, cr, cg, cb_ = carry
-        out_ref[j, 0:1, :] = cr
-        out_ref[j, 1:2, :] = cg
-        out_ref[j, 2:3, :] = cb_
+        t_acc, c3 = carry
+        out_ref[j, 0:3, :] = c3
         out_ref[j, 3:4, :] = t_acc
         out_ref[j, 4:8, :] = jnp.zeros((4, npx), jnp.float32)
 
@@ -275,18 +276,34 @@ def _backward_kernel(
     npx = tile_w * tile_h
     pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_ref[0])
 
+    dc3 = cot_ref[0, 0:3, :]  # [3, P] color cotangents
     dcr = cot_ref[0, 0:1, :]
     dcg = cot_ref[0, 1:2, :]
     dcb = cot_ref[0, 2:3, :]
     dt_fin = cot_ref[0, 3:4, :]
-    fin_r = fin_ref[0, 0:1, :]
-    fin_g = fin_ref[0, 1:2, :]
-    fin_b = fin_ref[0, 2:3, :]
     fin_t = fin_ref[0, 3:4, :]
+    # D = sum_c dc_c * fin_c, per pixel (see dalpha identity below).
+    d_fin = jnp.sum(dc3 * fin_ref[0, 0:3, :], axis=0, keepdims=True)
 
     # dT != 0 disables the compute skip (those terms touch every passing
     # Gaussian, not only pre-termination ones).
     dt_active = jnp.max(jnp.abs(dt_fin)) > 0.0
+
+    # Tile-local pixel bases for the moment matmuls (local coordinates keep
+    # the expansion of sum(dpower * dx^2) etc. cancellation-free).
+    ox = pxf[0, 0]
+    oy = pyf[0, 0]
+    pxl = pxf - ox  # [1, P]
+    pyl = pyf - oy
+    ones_p = jnp.ones((1, npx), jnp.float32)
+    basis = jnp.transpose(
+        jnp.concatenate(
+            [ones_p, pxl, pxl * pxl, pyl, pyl * pyl, pxl * pyl], axis=0
+        ),
+        (1, 0),
+    )  # [P, 6]
+    dc3_t = jnp.transpose(dc3, (1, 0))  # [P, 3]
+    ones_col = jnp.transpose(ones_p, (1, 0))  # [P, 1]
 
     nwin = pl.cdiv(end - a_start, WIN)
 
@@ -309,16 +326,16 @@ def _backward_kernel(
         aload.wait()
 
         def chunk(k, inner):
-            t_acc, sr, sg, sb = inner
+            t_acc, sdot = inner
             base = pl.multiple_of(k * CK, CK)
-            slab_t = _chunk_attrs(attr_buf, base)
+            slab_t = jnp.transpose(attr_buf[:, pl.ds(base, CK)], (1, 0))
             lo = start - (off + base)
             hi = end - (off + base)
             ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
             alpha, f, ok = ch["alpha"], ch["f"], ch["ok"]
             cumf = _cumprod_sublane(f)
             t_incl = t_acc * cumf
-            t_excl = t_incl / f
+            t_excl = t_acc * _excl_from_incl(cumf)
             contrib = ok & (t_incl >= cfg.t_min)
             wgt = jnp.where(contrib, alpha * t_excl, 0.0)
 
@@ -326,47 +343,45 @@ def _backward_kernel(
             colg = slab_t[:, A_CG:A_CG + 1]
             colb = slab_t[:, A_CB_:A_CB_ + 1]
 
-            # inclusive running color sums per row position
-            incl_r = sr + _cumsum_sublane(wgt * colr)
-            incl_g = sg + _cumsum_sublane(wgt * colg)
-            incl_b = sb + _cumsum_sublane(wgt * colb)
-
-            # dL/dcolor: [CK, P] -> reduce pixels
-            g_colr = jnp.sum(wgt * dcr, axis=1, keepdims=True)
-            g_colg = jnp.sum(wgt * dcg, axis=1, keepdims=True)
-            g_colb = jnp.sum(wgt * dcb, axis=1, keepdims=True)
-
-            # dL/dalpha from color channels (contributing rows)
-            dalpha = (
-                dcr * (colr * t_excl - (fin_r - incl_r) / f)
-                + dcg * (colg * t_excl - (fin_g - incl_g) / f)
-                + dcb * (colb * t_excl - (fin_b - incl_b) / f)
+            # dL/dalpha. Identity: sum_c dc_c * (col_c * t_excl - S_after_c/f)
+            # with S_after_c = fin_c - incl_c collapses to ONE fused running
+            # sum because sum_c dc_c * incl_c = cumsum(wgt * dccol):
+            dccol = colr * dcr + colg * dcg + colb * dcb  # [CK, P]
+            incl_dot = sdot + _cumsum_sublane(wgt * dccol)
+            rf = 1.0 / f
+            dalpha = jnp.where(
+                contrib, dccol * t_excl - (d_fin - incl_dot) * rf, 0.0
             )
-            dalpha = jnp.where(contrib, dalpha, 0.0)
             # + transmittance cotangent (all passing rows)
-            dalpha = dalpha + jnp.where(ok, -dt_fin * fin_t / f, 0.0)
+            dalpha = dalpha + jnp.where(ok, -dt_fin * fin_t * rf, 0.0)
 
             # through alpha = min(0.99, opacity * exp(power))
             gate = ch["alpha_raw"] < cfg.alpha_max
             da_raw = jnp.where(gate, dalpha, 0.0)
-            epow = jnp.exp(ch["power"])
-            g_op = jnp.sum(da_raw * epow, axis=1, keepdims=True)
             dpower = da_raw * ch["alpha_raw"]
 
-            dx, dy = ch["dx"], ch["dy"]
-            g_ca = jnp.sum(dpower * (-0.5) * dx * dx, axis=1, keepdims=True)
-            g_cb = jnp.sum(dpower * (-(dx * dy)), axis=1, keepdims=True)
-            g_cc = jnp.sum(dpower * (-0.5) * dy * dy, axis=1, keepdims=True)
-            g_uvx = jnp.sum(dpower * (-(ch["ca"] * dx + ch["cb"] * dy)),
-                            axis=1, keepdims=True)
-            g_uvy = jnp.sum(dpower * (-(ch["cc"] * dy + ch["cb"] * dx)),
-                            axis=1, keepdims=True)
+            # Pixel reductions as MXU matmuls. dx = u'x - pxl with
+            # u'x = uvx - ox (tile-local), so every quadratic-form reduction
+            # is a linear combination of the moments of dpower against the
+            # local pixel basis {1, x, x^2, y, y^2, xy}.
+            m = _dot(dpower, basis)  # [CK, 6]
+            m1, mx, mx2 = m[:, 0:1], m[:, 1:2], m[:, 2:3]
+            my, my2, mxy = m[:, 3:4], m[:, 4:5], m[:, 5:6]
+            ux = ch["uvx"] - ox  # [CK, 1]
+            uy = ch["uvy"] - oy
+            g_ca = -0.5 * (ux * ux * m1 - 2.0 * ux * mx + mx2)
+            g_cb = -(ux * uy * m1 - ux * my - uy * mx + mxy)
+            g_cc = -0.5 * (uy * uy * m1 - 2.0 * uy * my + my2)
+            sx = ux * m1 - mx  # sum(dpower * dx)
+            sy = uy * m1 - my
+            g_uvx = -(ch["ca"] * sx + ch["cb"] * sy)
+            g_uvy = -(ch["cc"] * sy + ch["cb"] * sx)
+            g_op = _dot(da_raw * ch["epow"], ones_col)  # [CK, 1]
+            g_col = _dot(wgt, dc3_t)  # [CK, 3]
 
             zeros7 = jnp.zeros((CK, ATTR_W - 9), jnp.float32)
             g = jnp.concatenate(
-                [g_uvx, g_uvy, g_ca, g_cb, g_cc, g_op, g_colr, g_colg, g_colb,
-                 zeros7],
-                axis=1,
+                [g_uvx, g_uvy, g_ca, g_cb, g_cc, g_op, g_col, zeros7], axis=1
             )  # [CK, ATTR_W]
             g_t = jnp.transpose(g, (1, 0))  # [ATTR_W, CK]
             lanes = lax.broadcasted_iota(jnp.int32, (1, CK), 1) + (off + base)
@@ -374,13 +389,7 @@ def _backward_kernel(
             prev = grad_buf[:, pl.ds(base, CK)]
             grad_buf[:, pl.ds(base, CK)] = jnp.where(owned, g_t, prev)
 
-            t_last = t_incl[CK - 1:CK, :]
-            return (
-                t_last,
-                incl_r[CK - 1:CK, :],
-                incl_g[CK - 1:CK, :],
-                incl_b[CK - 1:CK, :],
-            )
+            return t_incl[CK - 1:CK, :], incl_dot[CK - 1:CK, :]
 
         def compute(carry):
             # Chunks wholly past `end` hold lanes owned by later tiles;
@@ -404,8 +413,6 @@ def _backward_kernel(
 
     init = (
         jnp.ones((1, npx), jnp.float32),
-        jnp.zeros((1, npx), jnp.float32),
-        jnp.zeros((1, npx), jnp.float32),
         jnp.zeros((1, npx), jnp.float32),
     )
     lax.fori_loop(0, nwin, window, init)
