@@ -28,7 +28,7 @@ import time
 def save_png(path, img):
     import numpy as np
 
-    arr = (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+    arr = np.round(np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
     try:
         from PIL import Image
 
