@@ -18,6 +18,9 @@ from tpusplat.config import RenderConfig
 from tpusplat.types import GaussianParams, Camera
 from tpusplat.camera import make_camera, look_at_camera
 from tpusplat.io.ply import load_ply, save_ply
+
+# `load_scene` is the reference-API-flavoured alias (GSScene::load analogue).
+load_scene = load_ply
 from tpusplat.io.synthetic import random_scene
 from tpusplat.render import render, render_stages
 
@@ -28,6 +31,7 @@ __all__ = [
     "make_camera",
     "look_at_camera",
     "load_ply",
+    "load_scene",
     "save_ply",
     "random_scene",
     "render",
