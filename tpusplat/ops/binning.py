@@ -92,7 +92,12 @@ def searchsorted_left(a: jax.Array, v: jax.Array) -> jax.Array:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BinnedInstances:
-    """Depth-sorted (tile, gaussian) instances plus per-tile ranges."""
+    """Depth-sorted (tile, gaussian) instances plus per-tile ranges.
+
+    The emission-order fields (slot permutation, per-slot owner, per-Gaussian
+    offsets) exist for the backward pass: per-instance gradients are
+    un-sorted back to emission order — where each Gaussian's rows are
+    contiguous — and reduced without any scatter (rasterize_pallas)."""
 
     gauss_id: jax.Array  # [C] int32 sorted payload (gaussian index)
     tile_id: jax.Array  # [C] int32 sorted tile index (sentinel = num_tiles)
@@ -100,6 +105,10 @@ class BinnedInstances:
     tile_end: jax.Array  # [T] int32
     num_instances: jax.Array  # scalar int32 (valid, pre-clamp)
     overflow: jax.Array  # scalar int32: instances dropped due to capacity
+    slot: jax.Array  # [C] int32 sorted payload: pre-sort (emission) slot index
+    owner_emis: jax.Array  # [C] int32 per-SLOT owner in emission order
+    emis_off: jax.Array  # [N] int32 exclusive cumsum of emission counts
+    emis_ids: jax.Array  # [N] int32 emission index -> gaussian id
 
 
 def expand_instances(
@@ -178,7 +187,9 @@ def expand_instances(
     tile = jnp.where(valid, tile, sentinel)
     gid = jnp.where(valid, rows[:, 4], n)
     overflow = jnp.maximum(total - capacity, 0)
-    return tile, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow
+    aux = dict(owner_emis=g_safe.astype(jnp.int32), emis_off=off.astype(jnp.int32),
+               emis_ids=ids.astype(jnp.int32))
+    return tile, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow, aux
 
 
 def bin_and_sort(
@@ -209,10 +220,11 @@ def bin_and_sort(
     )
     depth_order = jnp.argsort(depth_key, stable=True)
 
-    tile, gid, total, overflow = expand_instances(
+    tile, gid, total, overflow, eaux = expand_instances(
         pg, tiles_x, capacity, row0, nrows, depth_order
     )
-    tile_s, gid_s = lax.sort((tile, gid), num_keys=1, is_stable=True)
+    slots = lax.iota(jnp.int32, capacity)
+    tile_s, gid_s, slot_s = lax.sort((tile, gid, slots), num_keys=1, is_stable=True)
 
     # Tile ranges from the sorted tile ids (K7 analogue): T binary searches
     # over the sorted ids — negligible next to the instance-level work.
@@ -227,4 +239,8 @@ def bin_and_sort(
         tile_end=end,
         num_instances=total.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
+        slot=slot_s,
+        owner_emis=eaux["owner_emis"],
+        emis_off=eaux["emis_off"],
+        emis_ids=eaux["emis_ids"],
     )

@@ -29,9 +29,11 @@ reference lacks. Design (TPU-native, no atomics, no scattered writes):
     buffer. This is race-free without atomics: every instance belongs to
     exactly one tile, the grid runs sequentially, and boundary lanes use a
     preload-merge writeback so a tile never clobbers its neighbours' rows.
-    The per-Gaussian reduction is then a segment-sum XLA-side (the
-    transpose of the pre-gather — the 'segment reduction instead of
-    atomicAdd' strategy, SURVEY.md §7 hard part 2).
+    The per-Gaussian reduction then un-sorts the gradient rows to emission
+    order (where each Gaussian's rows are contiguous) and reduces runs with
+    a second matmul-based Pallas kernel (_segment_reduce_kernel) — the
+    'segment reduction instead of atomicAdd' strategy, SURVEY.md §7 hard
+    part 2, with zero scatters anywhere in the backward path.
 
 Gradient semantics match the XLA path exactly (masks frozen, flow through
 alpha/T inside contributions) — verified by tests against autodiff of the
@@ -515,18 +517,133 @@ _RasterStatic = collections.namedtuple(
 )
 
 
-def pack_instances(pg: ProcessedGaussians, gauss_id: jax.Array):
-    """Gather per-instance attributes into the packed [ATTR_W, C + WIN] slab.
+GB = 512  # emission-gaussians per segment-reduce program
 
-    Differentiable: the transpose is XLA's scatter-add back onto the
-    per-Gaussian arrays (the 'segment reduction instead of atomicAdd'
-    strategy, SURVEY.md §7 hard part 2).
+
+def _segment_reduce_kernel(bounds_ref, dslot_hbm, owner_hbm, out_ref,
+                           dbuf, obuf, dsem, osem, *, n_pad):
+    """Sum contiguous emission-order gradient runs per Gaussian — without a
+    single scatter. Program p owns emission Gaussians [p*GB, (p+1)*GB); their
+    instance slots form one contiguous range (bounds are the emission-order
+    offsets subsampled at GB). Each WIN-window of gradient rows is reduced
+    onto the program's [ATTR_W, GB] accumulator by one MXU matmul against a
+    0/1 selection matrix built from the per-slot owner ids — the TPU answer
+    to CUDA's atomicAdd gradient accumulation (SURVEY.md §7 hard part 2).
     """
-    n = pg.uv.shape[0]
+    p = pl.program_id(0)
+    g0 = p * GB
+    lo = bounds_ref[p]
+    hi = bounds_ref[p + 1]
+    a_lo = (lo // ALIGN) * ALIGN
+    nwin = pl.cdiv(hi - a_lo, WIN)
+
+    targets = g0 + lax.broadcasted_iota(jnp.int32, (1, GB), 1)  # [1, GB]
+
+    def window(w, acc):
+        off = a_lo + w * WIN
+        dcp = pltpu.make_async_copy(dslot_hbm.at[:, pl.ds(off, WIN)], dbuf, dsem)
+        dcp.start()
+        ocp = pltpu.make_async_copy(owner_hbm.at[:, pl.ds(off, WIN)], obuf, osem)
+        ocp.start()
+        ocp.wait()
+        dcp.wait()
+        owner_t = jnp.transpose(obuf[0:1, :], (1, 0))  # [WIN, 1]
+        sel = (owner_t == targets).astype(jnp.float32)  # [WIN, GB]
+        return acc + _dot(dbuf[:, :], sel)  # [ATTR_W, GB]
+
+    acc = lax.fori_loop(0, nwin, window, jnp.zeros((ATTR_W, GB), jnp.float32))
+    out_ref[:, :] = acc
+
+
+def _run_segment_reduce(d_slot, owner, bounds, n_emis_pad):
+    """d_slot [ATTR_W, Cpad] (emission order), owner [1, Cpad] int32,
+    bounds [n_emis_pad//GB + 1] int32 -> [ATTR_W, n_emis_pad]."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_emis_pad // GB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (ATTR_W, GB), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ATTR_W, WIN), jnp.float32),
+            pltpu.VMEM((1, WIN), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_segment_reduce_kernel, n_pad=n_emis_pad)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ATTR_W, n_emis_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_interpret(),
+    )(bounds, d_slot, owner)
+
+
+@jax.custom_vjp
+def _pack_gather(table, gauss_id, slot, owner_emis, emis_off, emis_ids):
+    """attr slab [ATTR_W, C + WIN] from the per-Gaussian table [N, 16].
+
+    The extra operands ride along for the backward pass (no gradients).
+    """
+    n = table.shape[0]
     safe = jnp.minimum(gauss_id, n - 1)
-    # One contiguous row-gather of a pre-packed [N, 16] table: an order of
-    # magnitude faster on TPU than 9 separate 1-D gathers (XLA lowers row
-    # gathers to wide dynamic-slices).
+    # One contiguous row-gather of the pre-packed table: an order of
+    # magnitude faster on TPU than 9 separate 1-D gathers.
+    attr = table[safe]  # [C, 16]
+    return jnp.pad(attr.T, ((0, 0), (0, WIN)))
+
+
+def _pack_gather_fwd(table, gauss_id, slot, owner_emis, emis_off, emis_ids):
+    out = _pack_gather(table, gauss_id, slot, owner_emis, emis_off, emis_ids)
+    return out, (table.shape[0], gauss_id, slot, owner_emis, emis_off, emis_ids)
+
+
+def _pack_gather_bwd(res, d_attr):
+    """The transpose of the gather is a segment reduction, NOT a scatter-add
+    (XLA's non-unique scatter costs ~450 ms at production scale):
+      1. un-sort the per-instance gradient rows to emission order (inverse
+         permutation = argsort of the carried slot payload);
+      2. contiguous-run reduce per emission Gaussian (Pallas, matmul-based);
+      3. permute emission results back to Gaussian-id order.
+    """
+    n, gauss_id, slot, owner_emis, emis_off, emis_ids = res
+    c = gauss_id.shape[0]
+
+    inv = jnp.argsort(slot)  # [C]; argsort of a permutation = its inverse
+    d_rows = jnp.transpose(d_attr[:, :c], (1, 0))  # [C, 16]
+    d_slot = jnp.transpose(d_rows[inv], (1, 0))  # [ATTR_W, C] emission order
+    d_slot = jnp.pad(d_slot, ((0, 0), (0, WIN)))
+
+    n_pad = -(-n // GB) * GB
+    # bounds[p] = slot offset of emission gaussian p*GB; programs past the
+    # last real gaussian get the full-capacity bound (their rows are zeros).
+    emis_off_ext = jnp.concatenate([emis_off, jnp.full((1,), c, jnp.int32)])
+    pts = jnp.minimum(lax.iota(jnp.int32, n_pad // GB + 1) * GB, jnp.int32(n))
+    bounds = emis_off_ext[pts]
+
+    owner2d = jnp.pad(owner_emis[None, :], ((0, 0), (0, WIN)), constant_values=-1)
+    g_emis = _run_segment_reduce(d_slot, owner2d, bounds, n_pad)  # [16, n_pad]
+
+    # emission -> id order
+    inv_order = jnp.argsort(emis_ids)  # [N]
+    d_table = jnp.transpose(g_emis[:, :n], (1, 0))[inv_order]  # [N, 16]
+    return d_table, None, None, None, None, None
+
+
+_pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
+
+
+def pack_instances(pg: ProcessedGaussians, binned: BinnedInstances):
+    """Gather per-instance attributes into the packed [ATTR_W, C + WIN] slab."""
+    n = pg.uv.shape[0]
     table = jnp.concatenate(
         [
             pg.uv,
@@ -537,8 +654,10 @@ def pack_instances(pg: ProcessedGaussians, gauss_id: jax.Array):
         ],
         axis=-1,
     )  # [N, 16]
-    attr = table[safe]  # [C, 16]
-    return jnp.pad(attr.T, ((0, 0), (0, WIN)))
+    return _pack_gather(
+        table, binned.gauss_id, binned.slot, binned.owner_emis,
+        binned.emis_off, binned.emis_ids,
+    )
 
 
 def rasterize_pallas(
@@ -562,7 +681,7 @@ def rasterize_pallas(
     num_tiles = tiles_x * nrows
     tw, th = cfg.tile_w, cfg.tile_h
 
-    attr = pack_instances(pg, binned.gauss_id)
+    attr = pack_instances(pg, binned)
 
     static = _RasterStatic(
         tiles_x=tiles_x, num_tiles=num_tiles, tile_w=tw, tile_h=th, cfg=cfg,
