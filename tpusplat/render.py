@@ -32,14 +32,19 @@ def render_stages(params: GaussianParams, camera: Camera, cfg: RenderConfig):
     ``src/Renderer.cpp:541-563`` — nonzero means re-jit with a larger
     ``capacity_mult``), tile_overflow (XLA path only).
     """
-    pg = preprocess(params, camera, cfg)
-    binned = bin_and_sort(pg, camera.width, camera.height, cfg)
-    if cfg.use_pallas:
-        from tpusplat.ops.rasterize_pallas import rasterize_pallas
+    # named scopes mirror the reference's per-stage timestamp labels
+    # (src/Renderer.cpp:484-699) for jax.profiler traces.
+    with jax.named_scope("gs_preprocess"):
+        pg = preprocess(params, camera, cfg)
+    with jax.named_scope("gs_binning_sort"):
+        binned = bin_and_sort(pg, camera.width, camera.height, cfg)
+    with jax.named_scope("gs_rasterize"):
+        if cfg.use_pallas:
+            from tpusplat.ops.rasterize_pallas import rasterize_pallas
 
-        img, aux = rasterize_pallas(pg, binned, camera.width, camera.height, cfg)
-    else:
-        img, aux = rasterize_xla(pg, binned, camera.width, camera.height, cfg)
+            img, aux = rasterize_pallas(pg, binned, camera.width, camera.height, cfg)
+        else:
+            img, aux = rasterize_xla(pg, binned, camera.width, camera.height, cfg)
     # Per-Gaussian visibility/extent stats for densification (train/densify.py).
     aux["visible"] = pg.ntiles > 0
     aux["radius"] = pg.radius
