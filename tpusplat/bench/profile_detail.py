@@ -1,0 +1,182 @@
+"""Fine-grained per-stage profiler at production (garden) scale.
+
+The perf analogue of the reference's QueryManager per-stage timestamps
+(``src/Renderer.cpp:484-699``), but split further: each sub-stage of the
+binning/sort and the backward pieces is jitted and timed separately so
+optimization targets the true bottleneck. Results are printed as a table and
+as one JSON object (committed to docs/PROFILE_*.md per round).
+
+Run: python -m tpusplat.bench.profile_detail [garden|mid|small]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+
+def _force(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+
+def timeit(fn, *args, iters=5, **kw):
+    out = fn(*args, **kw)
+    _force(out)
+
+    def run(k):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(k):
+            o = fn(*args, **kw)
+        _force(o)
+        return time.perf_counter() - t0
+
+    k1 = max(1, iters // 2)
+    t1 = run(k1)
+    t2 = run(k1 + iters)
+    return (t2 - t1) / iters * 1e3, out  # ms
+
+
+def main():
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.ops import binning
+    from tpusplat.ops.preprocess import preprocess
+    from tpusplat.ops import rasterize_pallas as rp
+
+    conf = sys.argv[1] if len(sys.argv) > 1 else "garden"
+    scale = dict(
+        garden=dict(n=1_400_000, w=1920, h=1080, sh=3, cap=4, srange=(0.002, 0.02)),
+        mid=dict(n=100_000, w=800, h=800, sh=3, cap=8, srange=(0.004, 0.04)),
+        small=dict(n=10_000, w=256, h=256, sh=0, cap=8, srange=(0.004, 0.04)),
+    )[conf]
+    n, w, h = scale["n"], scale["w"], scale["h"]
+    params = random_scene(n, seed=0, sh_degree=scale["sh"],
+                          scale_range=scale["srange"], extent=4.0)
+    cam = look_at_camera([0.0, 0.5, 9.0], [0.0, 0.0, 0.0], w, h, fov_deg=60.0)
+    cfg = RenderConfig(sh_degree=scale["sh"], capacity_mult=scale["cap"],
+                       use_pallas=True, max_per_tile=4096)
+    capacity = cfg.instance_capacity(n)
+    tiles_x, tiles_y = cfg.tile_grid(w, h)
+    num_tiles = tiles_x * tiles_y
+    res: dict[str, float] = {}
+    print(f"profile: n={n} {w}x{h} capacity={capacity} tiles={num_tiles} "
+          f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
+
+    # ---- forward sub-stages ----
+    pre = jax.jit(partial(preprocess, cfg=cfg))
+    res["preprocess_fwd"], pg = timeit(pre, params, cam)
+
+    def depth_sort(pg):
+        key = lax.stop_gradient(
+            jnp.where(pg.ntiles > 0, pg.depth, jnp.float32(jnp.inf)))
+        return jnp.argsort(key, stable=True)
+
+    res["depth_argsort_N"], dorder = timeit(jax.jit(depth_sort), pg)
+
+    expand = jax.jit(partial(binning.expand_instances, tiles_x=tiles_x,
+                             capacity=capacity, row0=0, nrows=tiles_y))
+    res["expand_instances"], (tile, gid, total, ovf, eaux) = timeit(
+        expand, pg, depth_order=dorder)
+
+    def big_sort(tile, gid):
+        slots = lax.iota(jnp.int32, capacity)
+        return lax.sort((tile, gid, slots), num_keys=1, is_stable=True)
+
+    res["tile_sort_C"], (tile_s, gid_s, slot_s) = timeit(jax.jit(big_sort), tile, gid)
+
+    def bounds(tile_s):
+        rng = lax.iota(jnp.int32, num_tiles)
+        return (binning.searchsorted_left(tile_s, rng),
+                binning.searchsorted_right(tile_s, rng))
+
+    res["tile_boundaries"], (starts, ends) = timeit(jax.jit(bounds), tile_s)
+
+    full_bin = jax.jit(partial(binning.bin_and_sort, width=w, height=h, cfg=cfg))
+    res["bin_and_sort_total"], binned = timeit(full_bin, pg)
+
+    pack = jax.jit(rp.pack_instances)
+    res["pack_gather"], attr = timeit(pack, pg, binned)
+
+    t_pad = -(-num_tiles // rp.GROUP) * rp.GROUP
+    starts_p = jnp.pad(binned.tile_start, (0, t_pad - num_tiles))
+    ends_p = jnp.pad(binned.tile_end, (0, t_pad - num_tiles))
+    row0_arr = jnp.zeros((1,), jnp.int32)
+    static = dict(tiles_x=tiles_x, num_tiles=num_tiles,
+                  tile_w=cfg.tile_w, tile_h=cfg.tile_h, cfg=cfg)
+
+    fwd_kernel = jax.jit(partial(rp._run_forward, **static))
+    res["raster_fwd_kernel"], out = timeit(fwd_kernel, attr, starts_p, ends_p, row0_arr)
+
+    # ---- backward sub-stages ----
+    cot = jnp.zeros_like(out)
+    cot = cot.at[:, 0:3, :].set(1.0 / (w * h * 3))
+    bwd_kernel = jax.jit(partial(rp._run_backward, **static))
+    res["raster_bwd_kernel"], dattr = timeit(
+        bwd_kernel, attr, starts_p, ends_p, row0_arr, cot, out)
+
+    def unsort(dattr, slot):
+        inv = jnp.argsort(slot)
+        d_rows = jnp.transpose(dattr[:, :capacity], (1, 0))
+        return jnp.transpose(d_rows[inv], (1, 0))
+
+    res["bwd_unsort_argsort_C"], d_slot = timeit(jax.jit(unsort), dattr, binned.slot)
+
+    def segreduce(d_slot, owner_emis, emis_off, emis_ids):
+        n_pad = -(-n // rp.GB) * rp.GB
+        d_slot = jnp.pad(d_slot, ((0, 0), (0, rp.WIN)))
+        emis_off_ext = jnp.concatenate(
+            [emis_off, jnp.full((1,), capacity, jnp.int32)])
+        pts = jnp.minimum(lax.iota(jnp.int32, n_pad // rp.GB + 1) * rp.GB,
+                          jnp.int32(n))
+        bounds_ = emis_off_ext[pts]
+        owner2d = jnp.pad(owner_emis[None, :], ((0, 0), (0, rp.WIN)),
+                          constant_values=-1)
+        g_emis = rp._run_segment_reduce(d_slot, owner2d, bounds_, n_pad)
+        inv_order = jnp.argsort(emis_ids)
+        return jnp.transpose(g_emis[:, :n], (1, 0))[inv_order]
+
+    res["bwd_segment_reduce+argsort_N"], _ = timeit(
+        jax.jit(segreduce), d_slot, binned.owner_emis, binned.emis_off,
+        binned.emis_ids)
+
+    # ---- end-to-end ----
+    from tpusplat.render import render_stages
+    from tpusplat.train.step import merge_trainable, split_trainable
+
+    trainable, alive = split_trainable(params)
+
+    def fwd_full(tr):
+        img, aux = render_stages(merge_trainable(tr, alive), cam, cfg)
+        return jnp.sum(img)
+
+    res["e2e_fwd"], _ = timeit(jax.jit(fwd_full), trainable)
+
+    def loss_fn(tr):
+        img, _ = render_stages(merge_trainable(tr, alive), cam, cfg)
+        return jnp.mean(img * img)
+
+    res["e2e_fwd_bwd"], _ = timeit(jax.jit(jax.grad(loss_fn)), trainable)
+
+    res["num_instances"] = int(binned.num_instances)
+    res["capacity"] = capacity
+    width = max(len(k) for k in res)
+    for k, v in res.items():
+        unit = " ms" if isinstance(v, float) else ""
+        vv = f"{v:10.2f}" if isinstance(v, float) else f"{v:10d}"
+        print(f"{k:<{width}} {vv}{unit}", file=sys.stderr, flush=True)
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in res.items()}))
+
+
+if __name__ == "__main__":
+    main()
