@@ -85,19 +85,18 @@ def main():
 
     expand = jax.jit(partial(binning.expand_instances, tiles_x=tiles_x,
                              capacity=capacity, row0=0, nrows=tiles_y))
-    res["expand_instances"], (tile, gid, total, ovf, eaux) = timeit(
+    res["expand_instances"], (tile, gid, total, ovf) = timeit(
         expand, pg, depth_order=dorder)
 
     def big_sort(tile, gid):
-        slots = lax.iota(jnp.int32, capacity)
-        return lax.sort((tile, gid, slots), num_keys=1, is_stable=True)
+        return lax.sort((tile, gid), num_keys=1, is_stable=True)
 
-    res["tile_sort_C"], (tile_s, gid_s, slot_s) = timeit(jax.jit(big_sort), tile, gid)
+    res["tile_sort_C"], (tile_s, gid_s) = timeit(jax.jit(big_sort), tile, gid)
 
     def bounds(tile_s):
-        rng = lax.iota(jnp.int32, num_tiles)
-        return (binning.searchsorted_left(tile_s, rng),
-                binning.searchsorted_right(tile_s, rng))
+        rng = lax.iota(jnp.int32, num_tiles + 1)
+        b = binning.searchsorted_left(tile_s, rng)
+        return b[:num_tiles], b[1:]
 
     res["tile_boundaries"], (starts, ends) = timeit(jax.jit(bounds), tile_s)
 
@@ -124,30 +123,27 @@ def main():
     res["raster_bwd_kernel"], dattr = timeit(
         bwd_kernel, attr, starts_p, ends_p, row0_arr, cot, out)
 
-    def unsort(dattr, slot):
-        inv = jnp.argsort(slot)
-        d_rows = jnp.transpose(dattr[:, :capacity], (1, 0))
-        return jnp.transpose(d_rows[inv], (1, 0))
+    def grad_sort(dattr, gid):
+        cols = tuple(dattr[k, :capacity] for k in range(rp.GROWS))
+        return lax.sort((gid,) + cols, num_keys=1, is_stable=False)
 
-    res["bwd_unsort_argsort_C"], d_slot = timeit(jax.jit(unsort), dattr, binned.slot)
+    res["bwd_grad_sort_by_gid"], sorted_ = timeit(
+        jax.jit(grad_sort), dattr, binned.gauss_id)
 
-    def segreduce(d_slot, owner_emis, emis_off, emis_ids):
+    def segreduce(sorted_):
+        gid_sd = sorted_[0]
+        grad = jnp.stack(sorted_[1:])
         n_pad = -(-n // rp.GB) * rp.GB
-        d_slot = jnp.pad(d_slot, ((0, 0), (0, rp.WIN)))
-        emis_off_ext = jnp.concatenate(
-            [emis_off, jnp.full((1,), capacity, jnp.int32)])
-        pts = jnp.minimum(lax.iota(jnp.int32, n_pad // rp.GB + 1) * rp.GB,
-                          jnp.int32(n))
-        bounds_ = emis_off_ext[pts]
-        owner2d = jnp.pad(owner_emis[None, :], ((0, 0), (0, rp.WIN)),
-                          constant_values=-1)
-        g_emis = rp._run_segment_reduce(d_slot, owner2d, bounds_, n_pad)
-        inv_order = jnp.argsort(emis_ids)
-        return jnp.transpose(g_emis[:, :n], (1, 0))[inv_order]
+        qs = jnp.minimum(lax.iota(jnp.int32, n_pad // rp.GB + 1) * rp.GB,
+                         jnp.int32(n))
+        bounds_ = binning.searchsorted_left(gid_sd, qs)
+        grad = jnp.pad(grad, ((0, rp.GPAD - rp.GROWS), (0, rp.WIN)))
+        gid2d = jnp.pad(gid_sd[None, :], ((0, 0), (0, rp.WIN)),
+                        constant_values=-1)
+        g_sum = rp._run_segment_reduce(grad, gid2d, bounds_, n_pad, n)
+        return jnp.transpose(g_sum[:, :n], (1, 0))
 
-    res["bwd_segment_reduce+argsort_N"], _ = timeit(
-        jax.jit(segreduce), d_slot, binned.owner_emis, binned.emis_off,
-        binned.emis_ids)
+    res["bwd_segment_reduce"], _ = timeit(jax.jit(segreduce), sorted_)
 
     # ---- end-to-end ----
     from tpusplat.render import render_stages

@@ -9,13 +9,14 @@ TPU-native replacement for four reference kernels:
     (TPU has no scattered writes), each instance slot looks up its owning
     Gaussian with a vectorized binary search over the cumulative counts.
   * K5/K6 8-pass 64-bit radix sort (``sort/hist.comp``, ``sort/sort.comp``)
-    -> one stable lexicographic ``lax.sort`` on (tile int32, depth f32) key
-    pairs. Sorting the positive-float depth directly is equivalent to the
-    reference's float-bits trick (``preprocess_sort.comp:53-55``), and the
-    stable sort preserves instance order for equal keys exactly like the
-    reference's stable radix passes.
-  * K7 tile-boundary extraction (``tile_boundary.comp:22-50``) -> two
-    binary searches per tile over the sorted tile ids.
+    -> a stable single-key ``lax.sort`` by tile id over instances emitted in
+    depth-major order (depth pre-sort over Gaussians). The composition of a
+    stable depth argsort and a stable tile sort reproduces the reference's
+    (tile | depth-bits) 64-bit key order exactly, including its float-bits
+    trick (``preprocess_sort.comp:53-55``), with 32-bit keys.
+  * K7 tile-boundary extraction (``tile_boundary.comp:22-50``) -> one
+    binary search per tile edge over the sorted tile ids (end[t] ==
+    start[t+1]).
 
 Everything is static-shape: the instance buffer has a fixed capacity C (the
 analogue of ``sortBufferSizeMultiplier * N``, ``src/Renderer.h:143``), with
@@ -94,10 +95,9 @@ def searchsorted_left(a: jax.Array, v: jax.Array) -> jax.Array:
 class BinnedInstances:
     """Depth-sorted (tile, gaussian) instances plus per-tile ranges.
 
-    The emission-order fields (slot permutation, per-slot owner, per-Gaussian
-    offsets) exist for the backward pass: per-instance gradients are
-    un-sorted back to emission order — where each Gaussian's rows are
-    contiguous — and reduced without any scatter (rasterize_pallas)."""
+    The backward pass re-sorts per-instance gradient rows by ``gauss_id``
+    (measured cheaper on TPU than any gather/scatter permutation — see
+    docs/PROFILE.md) so no emission-order bookkeeping is carried."""
 
     gauss_id: jax.Array  # [C] int32 sorted payload (gaussian index)
     tile_id: jax.Array  # [C] int32 sorted tile index (sentinel = num_tiles)
@@ -105,10 +105,6 @@ class BinnedInstances:
     tile_end: jax.Array  # [T] int32
     num_instances: jax.Array  # scalar int32 (valid, pre-clamp)
     overflow: jax.Array  # scalar int32: instances dropped due to capacity
-    slot: jax.Array  # [C] int32 sorted payload: pre-sort (emission) slot index
-    owner_emis: jax.Array  # [C] int32 per-SLOT owner in emission order
-    emis_off: jax.Array  # [N] int32 exclusive cumsum of emission counts
-    emis_ids: jax.Array  # [N] int32 emission index -> gaussian id
 
 
 def expand_instances(
@@ -138,25 +134,27 @@ def expand_instances(
         y1 = jnp.clip(y1, row0, row0 + nrows)
     ntiles = jnp.where(pg.ntiles > 0, (x1 - x0) * jnp.maximum(y1 - y0, 0), 0)
 
-    # Per-Gaussian fields packed for ONE row-gather (every extra [C]-sized
-    # gather costs ~20 ms at production scale), in emission order.
+    # Per-Gaussian fields packed so BOTH permutations below are single row
+    # gathers: separate 1-D gathers cost ~12 ms each at N=1.4M while one
+    # [N, 5] row gather costs a fraction of that (docs/PROFILE.md).
     bbh = jnp.maximum(y1 - y0, 1)
-    ids = lax.iota(jnp.int32, n)
+    inv_bbh = 1.0 / bbh.astype(jnp.float32)  # exact for the small ints here
+    tbl_id = jnp.stack(
+        [ntiles, x0, y0, bbh, lax.bitcast_convert_type(inv_bbh, jnp.int32)],
+        axis=-1,
+    )  # [N, 5] in id order
     if depth_order is not None:
-        sel = depth_order
-        x0e, y0e, bbhe, ntiles = x0[sel], y0[sel], bbh[sel], ntiles[sel]
-        ids = sel.astype(jnp.int32)
+        ids = depth_order.astype(jnp.int32)
+        tbl = tbl_id[depth_order]  # emission (depth) order
     else:
-        x0e, y0e, bbhe = x0, y0, bbh
-
+        ids = lax.iota(jnp.int32, n)
+        tbl = tbl_id
+    ntiles = tbl[:, 0]
     cum = jnp.cumsum(ntiles)  # inclusive
     off = cum - ntiles  # exclusive
     total = cum[-1]
-    inv_bbh = 1.0 / bbhe.astype(jnp.float32)  # exact for the small ints here
-    table = jnp.stack(
-        [off, x0e, y0e, bbhe, ids, lax.bitcast_convert_type(inv_bbh, jnp.int32)],
-        axis=-1,
-    )  # [N, 6]
+    table = jnp.concatenate([off[:, None], tbl[:, 1:], ids[:, None]], axis=-1)
+    # [N, 6] columns: off, x0, y0, bbh, inv_bbh bits, gaussian id
 
     # Owner lookup g[s] = #{i : cum[i] <= s}. The off values of non-empty
     # Gaussians are strictly increasing, so a unique-index scatter-max of
@@ -178,18 +176,16 @@ def expand_instances(
     # exactly floor(r / bbh).
     q = jnp.floor(
         (r.astype(jnp.float32) + 0.5)
-        * lax.bitcast_convert_type(rows[:, 5], jnp.float32)
+        * lax.bitcast_convert_type(rows[:, 4], jnp.float32)
     ).astype(jnp.int32)
     rem = r - q * rows[:, 3]
     tile = rows[:, 1] + q + (rows[:, 2] + rem - row0) * tiles_x
 
     sentinel = jnp.int32(2**31 - 1)
     tile = jnp.where(valid, tile, sentinel)
-    gid = jnp.where(valid, rows[:, 4], n)
+    gid = jnp.where(valid, rows[:, 5], n)
     overflow = jnp.maximum(total - capacity, 0)
-    aux = dict(owner_emis=g_safe.astype(jnp.int32), emis_off=off.astype(jnp.int32),
-               emis_ids=ids.astype(jnp.int32))
-    return tile, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow, aux
+    return tile, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow
 
 
 def bin_and_sort(
@@ -220,27 +216,23 @@ def bin_and_sort(
     )
     depth_order = jnp.argsort(depth_key, stable=True)
 
-    tile, gid, total, overflow, eaux = expand_instances(
+    tile, gid, total, overflow = expand_instances(
         pg, tiles_x, capacity, row0, nrows, depth_order
     )
-    slots = lax.iota(jnp.int32, capacity)
-    tile_s, gid_s, slot_s = lax.sort((tile, gid, slots), num_keys=1, is_stable=True)
+    tile_s, gid_s = lax.sort((tile, gid), num_keys=1, is_stable=True)
 
-    # Tile ranges from the sorted tile ids (K7 analogue): T binary searches
-    # over the sorted ids — negligible next to the instance-level work.
-    tile_range = lax.iota(jnp.int32, num_tiles)
-    start = searchsorted_left(tile_s, tile_range)
-    end = searchsorted_right(tile_s, tile_range)
+    # Tile ranges from the sorted tile ids (K7 analogue): T+1 binary searches
+    # over the sorted ids; end[t] == start[t+1], so one search array serves
+    # both (empty tiles get start == end, the reference's convention at
+    # ``tile_boundary.comp:22-50``).
+    tile_range = lax.iota(jnp.int32, num_tiles + 1)
+    bounds = searchsorted_left(tile_s, tile_range)
 
     return BinnedInstances(
         gauss_id=gid_s,
         tile_id=tile_s,
-        tile_start=start,
-        tile_end=end,
+        tile_start=bounds[:num_tiles],
+        tile_end=bounds[1:],
         num_instances=total.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
-        slot=slot_s,
-        owner_emis=eaux["owner_emis"],
-        emis_off=eaux["emis_off"],
-        emis_ids=eaux["emis_ids"],
     )

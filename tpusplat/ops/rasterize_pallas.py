@@ -488,25 +488,24 @@ def _run_backward(attr, starts, ends, row0, cot, fin, *, tiles_x, num_tiles,
     )(starts, ends, row0, attr, cot, fin)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _raster_core(attr, starts, ends, row0, num_valid, static: Any):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _raster_core(attr, starts, ends, row0, static: Any):
     return _run_forward(attr, starts, ends, row0, **static._asdict())
 
 
-def _raster_core_fwd(attr, starts, ends, row0, num_valid, static):
+def _raster_core_fwd(attr, starts, ends, row0, static):
     out = _run_forward(attr, starts, ends, row0, **static._asdict())
-    return out, (attr, starts, ends, row0, num_valid, out)
+    return out, (attr, starts, ends, row0, out)
 
 
 def _raster_core_bwd(static, res, cot):
-    attr, starts, ends, row0, num_valid, out = res
+    attr, starts, ends, row0, out = res
     dattr = _run_backward(attr, starts, ends, row0, cot, out, **static._asdict())
-    # Lanes never covered by a tile range (instance slots >= num_valid, plus
-    # the WIN padding) hold stale memory — zero them so the pack-transpose
-    # scatter doesn't corrupt the clamp target Gaussian.
-    lanes = lax.broadcasted_iota(jnp.int32, (1, dattr.shape[1]), 1)
-    dattr = jnp.where(lanes < num_valid, dattr, 0.0)
-    return dattr, None, None, None, None
+    # Lanes never covered by a tile range (slots past the last valid
+    # instance, plus WIN padding) hold stale memory, but their gauss_id is
+    # the sentinel N, so the gid-keyed segment reduction never reads them —
+    # no masking pass needed.
+    return dattr, None, None, None
 
 
 _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
@@ -517,18 +516,23 @@ _RasterStatic = collections.namedtuple(
 )
 
 
-GB = 512  # emission-gaussians per segment-reduce program
+GB = 256  # gaussian ids per segment-reduce program
+GROWS = 9  # live gradient rows (uvx, uvy, ca, cb, cc, op, r, g, b)
+GPAD = 16  # slab rows: GROWS padded to the f32 (8, 128) sublane tiling
 
 
-def _segment_reduce_kernel(bounds_ref, dslot_hbm, owner_hbm, out_ref,
-                           dbuf, obuf, dsem, osem, *, n_pad):
-    """Sum contiguous emission-order gradient runs per Gaussian — without a
-    single scatter. Program p owns emission Gaussians [p*GB, (p+1)*GB); their
-    instance slots form one contiguous range (bounds are the emission-order
-    offsets subsampled at GB). Each WIN-window of gradient rows is reduced
-    onto the program's [ATTR_W, GB] accumulator by one MXU matmul against a
-    0/1 selection matrix built from the per-slot owner ids — the TPU answer
-    to CUDA's atomicAdd gradient accumulation (SURVEY.md §7 hard part 2).
+def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
+                           gbuf, ibuf, gsem, isem, *, n_real):
+    """Sum gid-sorted gradient rows per Gaussian — without a single scatter.
+
+    Program p owns Gaussian ids [p*GB, (p+1)*GB); their rows form one
+    contiguous range of the gid-sorted gradient slab (bounds = searchsorted
+    of the sorted ids at GB multiples). Each WIN-window of rows is reduced
+    onto the program's [GROWS, GB] accumulator by one MXU matmul against a
+    0/1 selection matrix built from the per-row gaussian ids — the TPU
+    answer to CUDA's atomicAdd gradient accumulation (SURVEY.md §7 hard
+    part 2). Sentinel ids (== N, from capacity padding) exceed every
+    program's targets and are ignored for free.
     """
     p = pl.program_id(0)
     g0 = p * GB
@@ -541,58 +545,63 @@ def _segment_reduce_kernel(bounds_ref, dslot_hbm, owner_hbm, out_ref,
 
     def window(w, acc):
         off = a_lo + w * WIN
-        dcp = pltpu.make_async_copy(dslot_hbm.at[:, pl.ds(off, WIN)], dbuf, dsem)
+        dcp = pltpu.make_async_copy(grad_hbm.at[:, pl.ds(off, WIN)], gbuf, gsem)
         dcp.start()
-        ocp = pltpu.make_async_copy(owner_hbm.at[:, pl.ds(off, WIN)], obuf, osem)
+        ocp = pltpu.make_async_copy(gid_hbm.at[:, pl.ds(off, WIN)], ibuf, isem)
         ocp.start()
         ocp.wait()
         dcp.wait()
-        owner_t = jnp.transpose(obuf[0:1, :], (1, 0))  # [WIN, 1]
-        sel = (owner_t == targets).astype(jnp.float32)  # [WIN, GB]
-        return acc + _dot(dbuf[:, :], sel)  # [ATTR_W, GB]
+        gid_t = jnp.transpose(ibuf[0:1, :], (1, 0))  # [WIN, 1]
+        sel = (gid_t == targets).astype(jnp.float32)  # [WIN, GB]
+        # Rows outside this program's id range — including sentinel ids
+        # (== n_real, capacity padding), whose values are stale memory the
+        # backward kernel never wrote — must be zeroed with a select: sel is
+        # 0 there, but 0 * NaN = NaN in the matmul sum.
+        hi_id = jnp.minimum(g0 + GB, n_real)
+        in_range = (ibuf[0:1, :] >= g0) & (ibuf[0:1, :] < hi_id)
+        gbuf_m = jnp.where(in_range, gbuf[:, :], 0.0)
+        return acc + _dot(gbuf_m, sel)  # [GPAD, GB]
 
-    acc = lax.fori_loop(0, nwin, window, jnp.zeros((ATTR_W, GB), jnp.float32))
+    acc = lax.fori_loop(0, nwin, window, jnp.zeros((GPAD, GB), jnp.float32))
     out_ref[:, :] = acc
 
 
-def _run_segment_reduce(d_slot, owner, bounds, n_emis_pad):
-    """d_slot [ATTR_W, Cpad] (emission order), owner [1, Cpad] int32,
-    bounds [n_emis_pad//GB + 1] int32 -> [ATTR_W, n_emis_pad]."""
+def _run_segment_reduce(grad, gid, bounds, n_pad, n_real):
+    """grad [GPAD, C + WIN] (gid-sorted rows, 9 live + pad), gid
+    [1, C + WIN] int32, bounds [n_pad//GB + 1] int32 -> per-Gaussian sums
+    [GPAD, n_pad]. Sublane dims are GPAD (not GROWS): DMA slices must
+    respect the f32 (8, 128) tiling on real hardware."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_emis_pad // GB,),
+        grid=(n_pad // GB,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (ATTR_W, GB), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+            (GPAD, GB), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((ATTR_W, WIN), jnp.float32),
+            pltpu.VMEM((GPAD, WIN), jnp.float32),
             pltpu.VMEM((1, WIN), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_segment_reduce_kernel, n_pad=n_emis_pad)
     return pl.pallas_call(
-        kernel,
+        functools.partial(_segment_reduce_kernel, n_real=n_real),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ATTR_W, n_emis_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((GPAD, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(bounds, d_slot, owner)
+    )(bounds, grad, gid)
 
 
 @jax.custom_vjp
-def _pack_gather(table, gauss_id, slot, owner_emis, emis_off, emis_ids):
-    """attr slab [ATTR_W, C + WIN] from the per-Gaussian table [N, 16].
-
-    The extra operands ride along for the backward pass (no gradients).
-    """
+def _pack_gather(table, gauss_id):
+    """attr slab [ATTR_W, C + WIN] from the per-Gaussian table [N, 16]."""
     n = table.shape[0]
     safe = jnp.minimum(gauss_id, n - 1)
     # One contiguous row-gather of the pre-packed table: an order of
@@ -601,41 +610,42 @@ def _pack_gather(table, gauss_id, slot, owner_emis, emis_off, emis_ids):
     return jnp.pad(attr.T, ((0, 0), (0, WIN)))
 
 
-def _pack_gather_fwd(table, gauss_id, slot, owner_emis, emis_off, emis_ids):
-    out = _pack_gather(table, gauss_id, slot, owner_emis, emis_off, emis_ids)
-    return out, (table.shape[0], gauss_id, slot, owner_emis, emis_off, emis_ids)
+def _pack_gather_fwd(table, gauss_id):
+    return _pack_gather(table, gauss_id), (table.shape[0], gauss_id)
 
 
 def _pack_gather_bwd(res, d_attr):
     """The transpose of the gather is a segment reduction, NOT a scatter-add
-    (XLA's non-unique scatter costs ~450 ms at production scale):
-      1. un-sort the per-instance gradient rows to emission order (inverse
-         permutation = argsort of the carried slot payload);
-      2. contiguous-run reduce per emission Gaussian (Pallas, matmul-based);
-      3. permute emission results back to Gaussian-id order.
+    (XLA's non-unique scatter serializes on TPU, ~450 ms at garden scale):
+      1. re-sort the 9 live gradient rows keyed by gaussian id — measured
+         ~3x cheaper than permuting [C, 16] rows through a gather
+         (docs/PROFILE.md micro table);
+      2. contiguous-run reduce per Gaussian (Pallas, matmul-based), output
+         directly in id order — no inverse permutation needed.
+    Summation order within a Gaussian follows the sort network rather than
+    instance order; the sum is exact per addend and differs only by fp
+    reassociation.
     """
-    n, gauss_id, slot, owner_emis, emis_off, emis_ids = res
+    from tpusplat.ops.binning import searchsorted_left
+
+    n, gauss_id = res
     c = gauss_id.shape[0]
 
-    inv = jnp.argsort(slot)  # [C]; argsort of a permutation = its inverse
-    d_rows = jnp.transpose(d_attr[:, :c], (1, 0))  # [C, 16]
-    d_slot = jnp.transpose(d_rows[inv], (1, 0))  # [ATTR_W, C] emission order
-    d_slot = jnp.pad(d_slot, ((0, 0), (0, WIN)))
+    cols = tuple(d_attr[k, :c] for k in range(GROWS))
+    sorted_ = lax.sort((gauss_id,) + cols, num_keys=1, is_stable=False)
+    gid_s = sorted_[0]
+    grad = jnp.stack(sorted_[1:])  # [GROWS, C]
 
     n_pad = -(-n // GB) * GB
-    # bounds[p] = slot offset of emission gaussian p*GB; programs past the
-    # last real gaussian get the full-capacity bound (their rows are zeros).
-    emis_off_ext = jnp.concatenate([emis_off, jnp.full((1,), c, jnp.int32)])
-    pts = jnp.minimum(lax.iota(jnp.int32, n_pad // GB + 1) * GB, jnp.int32(n))
-    bounds = emis_off_ext[pts]
+    qs = jnp.minimum(lax.iota(jnp.int32, n_pad // GB + 1) * GB, jnp.int32(n))
+    bounds = searchsorted_left(gid_s, qs)
 
-    owner2d = jnp.pad(owner_emis[None, :], ((0, 0), (0, WIN)), constant_values=-1)
-    g_emis = _run_segment_reduce(d_slot, owner2d, bounds, n_pad)  # [16, n_pad]
+    grad = jnp.pad(grad, ((0, GPAD - GROWS), (0, WIN)))
+    gid2d = jnp.pad(gid_s[None, :], ((0, 0), (0, WIN)), constant_values=-1)
+    g_sum = _run_segment_reduce(grad, gid2d, bounds, n_pad, n)  # [GPAD, n_pad]
 
-    # emission -> id order
-    inv_order = jnp.argsort(emis_ids)  # [N]
-    d_table = jnp.transpose(g_emis[:, :n], (1, 0))[inv_order]  # [N, 16]
-    return d_table, None, None, None, None, None
+    d_table = jnp.transpose(g_sum[:, :n], (1, 0))  # [N, GPAD == ATTR_W]
+    return d_table, None
 
 
 _pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
@@ -654,10 +664,7 @@ def pack_instances(pg: ProcessedGaussians, binned: BinnedInstances):
         ],
         axis=-1,
     )  # [N, 16]
-    return _pack_gather(
-        table, binned.gauss_id, binned.slot, binned.owner_emis,
-        binned.emis_off, binned.emis_ids,
-    )
+    return _pack_gather(table, binned.gauss_id)
 
 
 def rasterize_pallas(
@@ -691,7 +698,7 @@ def rasterize_pallas(
     t_pad = -(-num_tiles // GROUP) * GROUP
     starts = jnp.pad(binned.tile_start, (0, t_pad - num_tiles))
     ends = jnp.pad(binned.tile_end, (0, t_pad - num_tiles))
-    out = _raster_core(attr, starts, ends, row0_arr, binned.num_instances, static)
+    out = _raster_core(attr, starts, ends, row0_arr, static)
     out = out[:num_tiles]
 
     crop_h = height if not strip else nrows * th
