@@ -114,6 +114,18 @@ def main(argv=None):
     for step in range(1, args.steps + 1):
         i = (step - 1) % len(cams)
         state, metrics = train_step(state, cams[i], targets[i], cfg, optimizer)
+        overflow = int(metrics["capacity_overflow"])
+        if overflow > 0:
+            # Capacity recovery (the reference's sort-buffer growth,
+            # src/Renderer.cpp:541-563). The overflowed step already applied
+            # a gradient computed with dropped instances (the state was
+            # donated, so it cannot be retried); all later steps run at the
+            # grown capacity.
+            cap_now = cfg.instance_capacity(state.params.num_gaussians)
+            cfg = dataclasses.replace(
+                cfg, capacity=int((cap_now + overflow) * 1.3))
+            print(json.dumps(dict(step=step, capacity_regrow=cfg.capacity,
+                                  overflow=overflow)), file=sys.stderr, flush=True)
         if step % args.log_every == 0:
             n_alive = int(jnp.sum(state.params.alive))
             print(json.dumps(dict(

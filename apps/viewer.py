@@ -76,7 +76,7 @@ def main(argv=None):
 
     import numpy as np
 
-    from tpusplat import RenderConfig, load_ply, random_scene, render_stages
+    from tpusplat import RenderConfig, load_ply, random_scene, render_auto
     from tpusplat.camera import look_at_camera
 
     t0 = time.time()
@@ -106,7 +106,7 @@ def main(argv=None):
             eye = eye0
         cam = look_at_camera(eye, center, args.width, args.height, fov_deg=args.fov)
         t0 = time.time()
-        img, aux = render_stages(params, cam, cfg)
+        img, aux, cfg = render_auto(params, cam, cfg)
         img.block_until_ready()
         dt = time.time() - t0
         out = args.output if frames == 1 else args.output.replace(

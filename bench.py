@@ -58,7 +58,22 @@ def main():
     cfg = RenderConfig(
         sh_degree=scale["sh"], capacity_mult=scale["cap"],
         use_pallas=use_pallas, max_per_tile=4096, tile_chunk=64,
+        tight_radius=True,
     )
+    # Settle the static instance capacity from a cheap preprocess probe —
+    # the steady state the reference's dynamic sort-buffer growth reaches
+    # (src/Renderer.cpp:541-563). render_auto would converge to the same
+    # size; probing avoids one throwaway full-pipeline compile.
+    import dataclasses
+
+    import jax.numpy as _jnp
+
+    from tpusplat.ops.preprocess import preprocess as _pre
+
+    needed = int(jax.jit(
+        lambda p: _jnp.sum(_pre(p, cam, cfg).ntiles))(params))
+    cfg = dataclasses.replace(cfg, capacity=int(needed * 1.05))
+    log(f"instance probe: {needed} -> capacity {cfg.instance_capacity(n)}")
 
     trainable, alive = split_trainable(params)
     target = jnp.zeros((h, w, 3), jnp.float32)

@@ -22,7 +22,7 @@ from tpusplat.io.ply import load_ply, save_ply
 # `load_scene` is the reference-API-flavoured alias (GSScene::load analogue).
 load_scene = load_ply
 from tpusplat.io.synthetic import random_scene
-from tpusplat.render import render, render_stages
+from tpusplat.render import render, render_auto, render_stages
 
 __all__ = [
     "RenderConfig",
@@ -35,6 +35,7 @@ __all__ = [
     "save_ply",
     "random_scene",
     "render",
+    "render_auto",
     "render_stages",
 ]
 

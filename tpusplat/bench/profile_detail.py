@@ -64,7 +64,13 @@ def main():
                           scale_range=scale["srange"], extent=4.0)
     cam = look_at_camera([0.0, 0.5, 9.0], [0.0, 0.0, 0.0], w, h, fov_deg=60.0)
     cfg = RenderConfig(sh_degree=scale["sh"], capacity_mult=scale["cap"],
-                       use_pallas=True, max_per_tile=4096)
+                       use_pallas=True, max_per_tile=4096, tight_radius=True)
+    # Same capacity-settling probe as bench.py.
+    import dataclasses
+
+    needed = int(jax.jit(
+        lambda p: jnp.sum(preprocess(p, cam, cfg).ntiles))(params))
+    cfg = dataclasses.replace(cfg, capacity=int(needed * 1.05))
     capacity = cfg.instance_capacity(n)
     tiles_x, tiles_y = cfg.tile_grid(w, h)
     num_tiles = tiles_x * tiles_y

@@ -52,13 +52,22 @@ class RenderConfig:
         range and does not use this.
       use_pallas: route rasterization through the Pallas TPU kernel instead
         of the pure-XLA implementation.
+      tight_radius: shrink each Gaussian's tile AABB to the opacity-aware
+        radius sqrt(lam_max * 2 ln(255*opacity)) (capped at the reference's
+        3 sigma, ``preprocess.comp:148-152``). Every excluded pixel is
+        guaranteed to fail the alpha >= 1/255 blend cutoff
+        (``render.comp:77-79``), so the rendered image and all gradients are
+        bit-identical to the reference AABB — only per-Gaussian
+        radius/ntiles statistics change. Off by default for strict parity
+        of those statistics; turn on for production/bench (10-40% fewer
+        instances depending on the opacity distribution).
     """
 
     tile_w: int = 16
     tile_h: int = 16
     sh_degree: int = 3
     color_clamp: str = "red"
-    capacity_mult: int = 8
+    capacity_mult: float = 8
     capacity: int | None = None
     scale_modifier: float = 1.0
     z_near_cull: float = 0.2
@@ -70,9 +79,12 @@ class RenderConfig:
     gauss_chunk: int = 64
     max_per_tile: int = 1024
     use_pallas: bool = False
+    tight_radius: bool = False
 
     def instance_capacity(self, num_gaussians: int) -> int:
-        cap = self.capacity if self.capacity is not None else self.capacity_mult * num_gaussians
+        cap = self.capacity if self.capacity is not None else int(
+            self.capacity_mult * num_gaussians
+        )
         # Round up so the instance axis tiles evenly onto (8, 128) f32 lanes.
         return max(1024, -(-cap // 1024) * 1024)
 

@@ -220,7 +220,30 @@ def preprocess(params: GaussianParams, camera: Camera, cfg: RenderConfig) -> Pro
     mid = 0.5 * (c_a + c_c)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lam = mid + disc  # lambda1 >= lambda2 always (disc >= 0)
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
+    opacity = activate_opacity(params.opacities.astype(f32))
+    ref_radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
+    if cfg.tight_radius:
+        # Opacity-aware extent: alpha = opacity * exp(-q/2) with
+        # q >= |d|^2 / lam, so every pixel farther than
+        # sqrt(lam * 2*ln(255*opacity)) has alpha < 1/255 and is skipped by
+        # the blend cutoff (render.comp:77-79). Shrinking the AABB to that
+        # radius changes neither the rendered image nor any gradient — only
+        # the tile lists. Details that make this exact:
+        #   * +2 margin: the exclusive AABB edge x1 = floor((uv+r+15)/16)
+        #     only guarantees excluded pixels are at distance >= r-1, and
+        #     the cutoff needs strict inequality — +2 covers both.
+        #   * capped at the reference 3-sigma radius: a LARGER box would
+        #     admit contributions the reference's AABB excludes.
+        #   * opacity < 1/255 can never pass the cutoff anywhere -> cull.
+        mult2 = 2.0 * jnp.log(jnp.maximum(255.0 * opacity, 1e-12))
+        r_tight = jnp.ceil(
+            jnp.sqrt(jnp.maximum(lam, 0.0) * jnp.maximum(mult2, 0.0))
+        ) + 2.0
+        radius = jnp.where(
+            255.0 * opacity < 1.0, 0.0, jnp.minimum(ref_radius, r_tight)
+        )
+    else:
+        radius = ref_radius
 
     # --- pixel center and tile AABB (preprocess.comp:155-165) ---
     uv_x = ((ndc_x + 1.0) * w_img - 1.0) * 0.5
@@ -240,12 +263,14 @@ def preprocess(params: GaussianParams, camera: Camera, cfg: RenderConfig) -> Pro
     ntiles = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
 
     alive = params.alive if params.alive is not None else jnp.ones((n,), bool)
-    visible = visible & alive & (ntiles > 0)
+    # radius == 0 marks an invisible Gaussian (the reference signals this
+    # via color_radii.w == 0, preprocess.comp:127); reachable only with
+    # tight_radius (the eigenvalue floor keeps the 3-sigma radius >= 2).
+    visible = visible & alive & (ntiles > 0) & (radius > 0)
     ntiles = jnp.where(visible, ntiles, 0).astype(jnp.int32)
     radius = jnp.where(visible, radius, 0.0)
 
     color = eval_sh(means, params.sh.astype(f32), camera.cam_pos, cfg.sh_degree, cfg.color_clamp)
-    opacity = activate_opacity(params.opacities.astype(f32))
 
     return ProcessedGaussians(
         uv=uv,

@@ -59,6 +59,40 @@ def render(params: GaussianParams, camera: Camera, cfg: RenderConfig | None = No
     return img
 
 
+def render_auto(
+    params: GaussianParams,
+    camera: Camera,
+    cfg: RenderConfig | None = None,
+    max_regrows: int = 4,
+    growth: float = 1.3,
+):
+    """Render with automatic instance-capacity recovery.
+
+    The analogue of the reference's mid-frame sort-buffer overflow handling:
+    it grows ``sortBufferSizeMultiplier``, reallocs, re-records and retries
+    the frame (``src/Renderer.cpp:541-563``). Here overflow is a device
+    counter; on overflow we re-jit with a grown static capacity and retry —
+    the retried frame is exact, not merely less-truncated.
+
+    Returns (img, aux, cfg): callers should keep the returned cfg so later
+    frames reuse the grown capacity's compiled executable.
+    """
+    import dataclasses
+
+    if cfg is None:
+        cfg = RenderConfig()
+    for _ in range(max_regrows + 1):
+        img, aux = render_stages(params, camera, cfg)
+        overflow = int(aux["capacity_overflow"])
+        if overflow <= 0 or max_regrows <= 0:
+            break
+        cap_now = cfg.instance_capacity(params.num_gaussians)
+        needed = cap_now + overflow
+        cfg = dataclasses.replace(cfg, capacity=int(needed * growth))
+        max_regrows -= 1
+    return img, aux, cfg
+
+
 def render_batch(params: GaussianParams, cameras: Camera, cfg: RenderConfig | None = None):
     """Render a batch of same-resolution cameras on one device.
 

@@ -84,13 +84,26 @@ class Session:
         self._initialized = True
 
     def draw(self):
-        """Render one frame at the current camera; returns ([H,W,3], aux)."""
+        """Render one frame at the current camera; returns ([H,W,3], aux).
+
+        On instance-capacity overflow the frame is automatically retried
+        with a grown capacity (the reference's sort-buffer growth + retry,
+        ``src/Renderer.cpp:541-563``); the grown config is kept for
+        subsequent frames.
+        """
         assert self._initialized, "call initialize() first"
         cam = make_camera(
             self.position, self.rotation, self.config.width, self.config.height,
             fov_deg=self.config.fov, near=self.config.near, far=self.config.far,
         )
-        return render_stages(self.params, cam, self.config.render)
+        from tpusplat.render import render_auto
+
+        img, aux, grown = render_auto(self.params, cam, self.config.render)
+        if grown is not self.config.render:
+            import dataclasses
+
+            self.config = dataclasses.replace(self.config, render=grown)
+        return img, aux
 
     def start(self, on_frame: Callable | None = None, max_frames: int = 0,
               target_fps: float = 0.0):
