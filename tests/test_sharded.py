@@ -35,11 +35,12 @@ def test_sharded_render_matches_single_device():
     params, cams, cfg = _setup()
     mesh = make_render_mesh(data=2, tile=4)
 
-    img_sharded, overflow = jax.jit(
+    img_sharded, overflow, tile_ovf = jax.jit(
         render_sharded, static_argnames=("cfg", "mesh")
     )(params, cams, cfg, mesh)
     img_sharded = np.asarray(img_sharded)
     assert int(np.asarray(overflow).sum()) == 0
+    assert int(np.asarray(tile_ovf).sum()) == 0
 
     # Single-device reference: render each camera separately.
     for b in range(cams.view.shape[0]):
@@ -54,7 +55,7 @@ def test_sharded_render_matches_single_device():
 def test_sharded_render_tile_only_mesh():
     params, cams, cfg = _setup(batch=1)
     mesh = make_render_mesh(data=1, tile=8)
-    img, _ = jax.jit(render_sharded, static_argnames=("cfg", "mesh"))(
+    img, _, _ = jax.jit(render_sharded, static_argnames=("cfg", "mesh"))(
         params, cams, cfg, mesh
     )
     cam0 = jax.tree_util.tree_map(lambda x: x[0], cams)
@@ -141,7 +142,7 @@ def test_sharded_render_pallas_matches_single_device():
     params, cams, cfg = _setup(batch=2)
     cfg_pl = dc.replace(cfg, use_pallas=True)
     mesh = make_render_mesh(data=2, tile=4)
-    img_sharded, overflow = jax.jit(
+    img_sharded, overflow, _ = jax.jit(
         render_sharded, static_argnames=("cfg", "mesh")
     )(params, cams, cfg_pl, mesh)
     img_sharded = np.asarray(img_sharded)
@@ -153,3 +154,29 @@ def test_sharded_render_pallas_matches_single_device():
             img_sharded[b], np.asarray(ref), atol=1e-5, rtol=1e-4,
             err_msg=f"camera {b}",
         )
+
+
+def test_sharded_tile_overflow_reported():
+    """An engineered dense tile (max_per_tile=1, XLA path) must surface a
+    nonzero tile_overflow through render_sharded and sharded_train_step
+    instead of silently dropping contributions."""
+    import dataclasses as dc
+
+    params, cams, cfg = _setup(batch=2)
+    cfg_tiny = dc.replace(cfg, max_per_tile=1)
+    mesh = make_render_mesh(data=2, tile=4)
+    _, _, tile_ovf = jax.jit(render_sharded, static_argnames=("cfg", "mesh"))(
+        params, cams, cfg_tiny, mesh
+    )
+    assert int(np.asarray(tile_ovf).sum()) > 0
+
+    rng = np.random.default_rng(0)
+    h, w = cams.height, cams.width
+    targets = jnp.asarray(rng.uniform(0, 1, (2, h, w, 3)), jnp.float32)
+    optimizer = make_optimizer()
+    state = create_train_state(params, optimizer)
+    state = dataclasses.replace(
+        state, params=jax.device_put(state.params, params_sharding(mesh))
+    )
+    _, metrics = sharded_train_step(state, cams, targets, cfg_tiny, optimizer, mesh)
+    assert int(np.asarray(metrics["tile_overflow"]).sum()) > 0

@@ -1,6 +1,13 @@
 """Multi-chip dryrun: jit + execute one full sharded training step on an
 n-device mesh with tiny shapes. Invoked by the driver via
-``__graft_entry__.dryrun_multichip`` on a virtual CPU mesh."""
+``__graft_entry__.dryrun_multichip`` on a virtual CPU mesh.
+
+Certifies the PRODUCTION path: the Pallas rasterizer (interpret mode on the
+CPU mesh, compiled on real chips) runs under shard_map, and the sharded
+render is asserted equal to the single-device render — not merely a finite
+loss. An XLA-rasterizer variant runs too, so both backends' sharding stays
+validated.
+"""
 
 from __future__ import annotations
 
@@ -8,6 +15,8 @@ import numpy as np
 
 
 def run_dryrun(n_devices: int) -> None:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -17,8 +26,10 @@ def run_dryrun(n_devices: int) -> None:
     from tpusplat.parallel.mesh import make_render_mesh
     from tpusplat.parallel.sharded import (
         params_sharding,
+        render_sharded,
         sharded_train_step,
     )
+    from tpusplat.render import render_stages
     from tpusplat.train.step import create_train_state, make_optimizer
     from tpusplat.types import stack_cameras
 
@@ -32,8 +43,8 @@ def run_dryrun(n_devices: int) -> None:
     batch = data
 
     params = random_scene(n_gauss, seed=0, sh_degree=1, scale_range=(0.1, 0.5))
-    cfg = RenderConfig(
-        sh_degree=1, max_per_tile=128, tile_chunk=4, gauss_chunk=16, capacity_mult=16
+    base_cfg = RenderConfig(
+        sh_degree=1, max_per_tile=2048, tile_chunk=4, gauss_chunk=16, capacity_mult=16
     )
     cams = stack_cameras(
         [
@@ -44,24 +55,45 @@ def run_dryrun(n_devices: int) -> None:
     rng = np.random.default_rng(0)
     targets = jnp.asarray(rng.uniform(0, 1, (batch, height, width, 3)), jnp.float32)
 
-    optimizer = make_optimizer()
-    state = create_train_state(params, optimizer)
-    # Place params according to the mesh sharding.
-    pshard = params_sharding(mesh)
-    state = dataclasses_replace_params(state, jax.device_put(state.params, pshard))
-
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    cams = jax.device_put(cams, NamedSharding(mesh, P("data")))
-    targets = jax.device_put(targets, NamedSharding(mesh, P("data", None, None, None)))
+    pshard = params_sharding(mesh)
+    cams_sh = jax.device_put(cams, NamedSharding(mesh, P("data")))
+    targets_sh = jax.device_put(
+        targets, NamedSharding(mesh, P("data", None, None, None))
+    )
 
-    state, metrics = sharded_train_step(state, cams, targets, cfg, optimizer, mesh)
-    loss = float(metrics["loss"])
-    assert np.isfinite(loss), f"dryrun loss not finite: {loss}"
-    print(f"dryrun_multichip({n_devices}): mesh=({data}x{tile}) loss={loss:.4f} OK")
+    for backend in ("pallas", "xla"):
+        cfg = dataclasses.replace(base_cfg, use_pallas=(backend == "pallas"))
 
+        # 1. Sharded render equals the single-device render (the correctness
+        #    keystone — certifies the collective layout, not just liveness).
+        img_sh, overflow, tile_ovf = jax.jit(
+            render_sharded, static_argnames=("cfg", "mesh")
+        )(jax.device_put(params, pshard), cams_sh, cfg, mesh)
+        img_sh = np.asarray(img_sh)
+        assert int(np.asarray(overflow).sum()) == 0, "capacity overflow in dryrun"
+        assert int(np.asarray(tile_ovf).sum()) == 0, "tile overflow in dryrun"
+        for b in range(batch):
+            cam_b = jax.tree_util.tree_map(lambda x: x[b], cams)
+            ref, _ = render_stages(params, cam_b, cfg)
+            np.testing.assert_allclose(
+                img_sh[b], np.asarray(ref), atol=1e-5, rtol=1e-4,
+                err_msg=f"{backend}: sharded != single-device (camera {b})",
+            )
 
-def dataclasses_replace_params(state, params):
-    import dataclasses
-
-    return dataclasses.replace(state, params=params)
+        # 2. One full sharded training step executes with a finite loss.
+        optimizer = make_optimizer()
+        state = create_train_state(params, optimizer)
+        state = dataclasses.replace(
+            state, params=jax.device_put(state.params, pshard)
+        )
+        state, metrics = sharded_train_step(
+            state, cams_sh, targets_sh, cfg, optimizer, mesh
+        )
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss), f"{backend}: dryrun loss not finite: {loss}"
+        print(
+            f"dryrun_multichip({n_devices}): mesh=({data}x{tile}) "
+            f"backend={backend} loss={loss:.4f} image-equality OK"
+        )

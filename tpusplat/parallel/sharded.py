@@ -100,14 +100,18 @@ def render_sharded(
                 img, aux = rasterize_pallas(pg, binned, width, height, cfg, row0, nrows)
             else:
                 img, aux = rasterize_xla(pg, binned, width, height, cfg, row0, nrows)
-            return img, aux["capacity_overflow"]
+            # tile_overflow: instances silently dropped past max_per_tile in
+            # the XLA path (the Pallas kernel streams true ranges -> 0). Must
+            # be surfaced, not swallowed: a dense tile losing contributions
+            # with no signal corrupts training undetectably.
+            return img, aux["capacity_overflow"], aux["tile_overflow"]
 
         # lax.map (not vmap): pallas_call doesn't batch, and the per-camera
         # work is large enough that sequencing costs nothing.
-        strip, overflow = lax.map(render_one, pg_full)
-        return strip, jnp.sum(overflow)[None]
+        strip, overflow, tile_ovf = lax.map(render_one, pg_full)
+        return strip, jnp.sum(overflow)[None], jnp.sum(tile_ovf)[None]
 
-    strips, overflow = jax.shard_map(
+    strips, overflow, tile_ovf = jax.shard_map(
         body,
         mesh=mesh,
         # The rasterizer's scan carries are created inside the mapped body
@@ -133,10 +137,14 @@ def render_sharded(
                 height=height,
             ),
         ),
-        out_specs=(P("data", "tile", None, None), P(("data", "tile"))),
+        out_specs=(
+            P("data", "tile", None, None),
+            P(("data", "tile")),
+            P(("data", "tile")),
+        ),
     )(params, cameras)
     # strips: [B, S*nrows*tile_h, W, 3]; crop the tile padding.
-    return strips[:, :height], overflow
+    return strips[:, :height], overflow, tile_ovf
 
 
 @partial(
@@ -161,13 +169,19 @@ def sharded_train_step(
     trainable, alive = split_trainable(state.params)
 
     def loss_fn(tr):
-        img, overflow = render_sharded(merge_trainable(tr, alive), cameras, cfg, mesh)
-        return gs_loss(img, targets, ssim_weight), overflow
+        img, overflow, tile_ovf = render_sharded(
+            merge_trainable(tr, alive), cameras, cfg, mesh
+        )
+        return gs_loss(img, targets, ssim_weight), (overflow, tile_ovf)
 
-    (loss, overflow), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+    (loss, (overflow, tile_ovf)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(trainable)
     updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
     params = merge_trainable(optax.apply_updates(trainable, updates), alive)
     state = dataclasses.replace(
         state, params=params, opt_state=opt_state, step=state.step + 1
     )
-    return state, dict(loss=loss, capacity_overflow=overflow)
+    return state, dict(
+        loss=loss, capacity_overflow=overflow, tile_overflow=tile_ovf
+    )
