@@ -61,14 +61,17 @@ def main(argv=None):
     from tpusplat.types import GaussianParams
 
     w, h = args.width, args.height
-    cfg = RenderConfig(sh_degree=args.sh_degree, use_pallas=not args.xla,
-                       max_per_tile=2048)
+    cfg = RenderConfig(max_per_tile=2048).with_env_overrides()
+    cfg = dataclasses.replace(cfg, sh_degree=args.sh_degree)
+    if args.xla:
+        cfg = dataclasses.replace(cfg, use_pallas=False)
+    elif "TPUSPLAT_USE_PALLAS" not in os.environ:
+        cfg = dataclasses.replace(cfg, use_pallas=True)
 
     # --- data ---
     cams, targets = [], []
     if args.data:
         import glob
-        import os
 
         for f in sorted(glob.glob(os.path.join(args.data, "*.npz"))):
             d = np.load(f)
@@ -110,37 +113,65 @@ def main(argv=None):
     densify_until = args.densify_until or args.steps // 2
     key = jax.random.key(0)
 
+    # Exact capacity recovery (the reference's sort-buffer growth + frame
+    # retry, src/Renderer.cpp:541-563 with the goto at 383): train_step gates
+    # its update in-graph, so an overflowed step is a no-op on the state.
+    # The host polls the overflow counter with one step of lag — the
+    # device-to-host sync for step k overlaps step k+1's compute, so async
+    # dispatch stays pipelined — and re-queues the overflowed camera at a
+    # grown capacity. No truncated gradient is ever applied.
+    import collections
+
     t0 = time.time()
-    for step in range(1, args.steps + 1):
-        i = (step - 1) % len(cams)
-        state, metrics = train_step(state, cams[i], targets[i], cfg, optimizer)
+    inflight = collections.deque()  # (cam_idx, metrics) awaiting overflow poll
+    retry_q = collections.deque()  # cameras to retry after a regrow
+    done, seq = 0, 0
+
+    def poll_oldest():
+        nonlocal cfg, done
+        i, metrics = inflight.popleft()
         overflow = int(metrics["capacity_overflow"])
         if overflow > 0:
-            # Capacity recovery (the reference's sort-buffer growth,
-            # src/Renderer.cpp:541-563). The overflowed step already applied
-            # a gradient computed with dropped instances (the state was
-            # donated, so it cannot be retried); all later steps run at the
-            # grown capacity.
             cap_now = cfg.instance_capacity(state.params.num_gaussians)
             cfg = dataclasses.replace(
                 cfg, capacity=int((cap_now + overflow) * 1.3))
-            print(json.dumps(dict(step=step, capacity_regrow=cfg.capacity,
+            retry_q.append(i)
+            print(json.dumps(dict(step=done + 1, capacity_regrow=cfg.capacity,
                                   overflow=overflow)), file=sys.stderr, flush=True)
-        if step % args.log_every == 0:
+            return
+        done += 1
+        if done % args.log_every == 0:
             n_alive = int(jnp.sum(state.params.alive))
             print(json.dumps(dict(
-                step=step, loss=round(float(metrics["loss"]), 5),
-                alive=n_alive,
-                overflow=int(metrics["capacity_overflow"]),
-                sps=round(step / (time.time() - t0), 2),
+                step=done, loss=round(float(metrics["loss"]), 5),
+                alive=n_alive, overflow=overflow,
+                sps=round(done / (time.time() - t0), 2),
             )), file=sys.stderr, flush=True)
-        if args.densify_every and step % args.densify_every == 0 and step <= densify_until:
+
+    last_densify = last_reset = 0
+    while done < args.steps:
+        if retry_q:
+            i = retry_q.popleft()
+        else:
+            i = seq % len(cams)
+            seq += 1
+        state, metrics = train_step(state, cams[i], targets[i], cfg, optimizer)
+        inflight.append((i, metrics))
+        if len(inflight) >= 2 or done + len(inflight) >= args.steps:
+            poll_oldest()
+        step = done
+        if args.densify_every and step - last_densify >= args.densify_every \
+                and step <= densify_until:
+            last_densify = step
             key, sub = jax.random.split(key)
             state = jax.jit(densify_and_prune, static_argnames=("dcfg", "scene_extent"))(
                 state, sub, dcfg, scene_extent)
-        if args.opacity_reset_every and step % args.opacity_reset_every == 0 \
+        if args.opacity_reset_every and step - last_reset >= args.opacity_reset_every \
                 and step <= densify_until:
+            last_reset = step
             state = reset_opacity(state)
+    while inflight:
+        poll_oldest()
 
     save_ply(args.out, state.params)
     print(f"saved {args.out}", file=sys.stderr)

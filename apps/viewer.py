@@ -87,7 +87,16 @@ def main(argv=None):
     print(f"loaded {params.num_gaussians} gaussians in "
           f"{(time.time() - t0) * 1e3:.0f} ms", file=sys.stderr)
 
-    cfg = RenderConfig(sh_degree=args.sh_degree, use_pallas=not args.xla)
+    # Env layer under the CLI: TPUSPLAT_* (the VKGS_ analogue), then explicit
+    # flags overlay (CLI > env > defaults, apps/viewer/main.cpp:46-50).
+    cfg = RenderConfig().with_env_overrides()
+    import dataclasses as _dc
+
+    cfg = _dc.replace(cfg, sh_degree=args.sh_degree)
+    if args.xla:
+        cfg = _dc.replace(cfg, use_pallas=False)
+    elif "TPUSPLAT_USE_PALLAS" not in os.environ:
+        cfg = _dc.replace(cfg, use_pallas=True)
 
     frames = max(args.orbit, 1)
     center = np.asarray(args.target)

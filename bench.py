@@ -114,6 +114,13 @@ def main():
     t_big = run(iters + max(1, iters // 4))
     dt = (t_big - t_small) / iters
 
+    # The capacity probe used the initial params; assert the timed workload
+    # was never truncated (a shrunken instance count would skew the timing).
+    final = step(trainable)
+    assert int(final[2]) == 0, (
+        f"bench invalid: capacity overflow {int(final[2])} during timed runs"
+    )
+
     mpix = w * h / 1e6 / dt
     baseline = 62.2  # 30 fps-equivalent at 1080p (driver target)
     mode = "fwd" if fwd_only else "fwd+bwd"

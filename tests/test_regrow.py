@@ -100,3 +100,63 @@ def test_tight_radius_culls_sub_cutoff_opacity():
     cfg = RenderConfig(sh_degree=1, tight_radius=True)
     pg = preprocess(params, cam, cfg)
     assert int(jnp.sum(pg.ntiles)) == 0
+
+
+def test_train_step_overflow_is_noop():
+    """An overflowed training step must not apply a truncated gradient:
+    params, opt state, and the step counter stay exactly unchanged
+    (in-graph gate; the host regrows + retries, matching the reference's
+    frame retry at src/Renderer.cpp:541-563)."""
+    from tpusplat.train.step import create_train_state, make_optimizer, train_step
+
+    params, cam = _setup(n=600)
+    params = dataclasses.replace(params, log_scales=params.log_scales + 0.7)
+    target = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+    optimizer = make_optimizer()
+
+    tiny = RenderConfig(sh_degree=1, capacity=1024, max_per_tile=2048,
+                        tile_chunk=4, gauss_chunk=16)
+    state0 = create_train_state(params, optimizer)
+    state1, metrics = train_step(state0, cam, target, tiny, optimizer)
+    assert int(metrics["capacity_overflow"]) > 0  # engineered overflow
+    assert int(state1.step) == 0
+    for f in ("means", "log_scales", "quats", "opacities", "sh"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state1.params, f)),
+            np.asarray(getattr(state0.params, f)), err_msg=f)
+    np.testing.assert_array_equal(
+        np.asarray(state1.grad_accum), np.asarray(state0.grad_accum))
+
+    # Retry at grown capacity applies a real step.
+    grown = dataclasses.replace(tiny, capacity=64 * 1024)
+    state2, metrics2 = train_step(state1, cam, target, grown, optimizer)
+    assert int(metrics2["capacity_overflow"]) == 0
+    assert int(state2.step) == 1
+    assert not np.array_equal(
+        np.asarray(state2.params.means), np.asarray(state0.params.means))
+
+
+def test_sharded_train_step_overflow_is_noop():
+    from tpusplat.parallel.mesh import make_render_mesh
+    from tpusplat.parallel.sharded import params_sharding, sharded_train_step
+    from tpusplat.train.step import create_train_state, make_optimizer
+    from tpusplat.types import stack_cameras
+
+    params, cam = _setup(n=512)
+    params = dataclasses.replace(params, log_scales=params.log_scales + 2.5)
+    cams = stack_cameras([cam, cam])
+    targets = jnp.zeros((2, cam.height, cam.width, 3), jnp.float32)
+    optimizer = make_optimizer()
+    mesh = make_render_mesh(data=2, tile=4)
+
+    tiny = RenderConfig(sh_degree=1, capacity=256, max_per_tile=2048,
+                        tile_chunk=4, gauss_chunk=16)
+    state = create_train_state(params, optimizer)
+    state = dataclasses.replace(
+        state, params=jax.device_put(state.params, params_sharding(mesh)))
+    means0 = np.asarray(state.params.means)
+    state1, metrics = sharded_train_step(
+        state, cams, targets, tiny, optimizer, mesh)
+    assert int(np.asarray(metrics["capacity_overflow"]).sum()) > 0
+    assert int(state1.step) == 0
+    np.testing.assert_array_equal(np.asarray(state1.params.means), means0)

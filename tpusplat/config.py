@@ -52,6 +52,12 @@ class RenderConfig:
         range and does not use this.
       use_pallas: route rasterization through the Pallas TPU kernel instead
         of the pure-XLA implementation.
+      debug_checks: runtime validation mode (ops/validate.py) — in-graph
+        NaN/invariant counters surfaced in aux["debug"], raised on the host
+        by validate.raise_on_violations. The analogue of the reference's
+        ``--validation`` layers + in-shader asserts
+        (``src/vulkan/VulkanContext.cpp:11-35``, ``common.glsl:5-14``).
+        Off by default (near-zero cost when on; still off for parity).
       tight_radius: shrink each Gaussian's tile AABB to the opacity-aware
         radius sqrt(lam_max * 2 ln(255*opacity)) (capped at the reference's
         3 sigma, ``preprocess.comp:148-152``). Every excluded pixel is
@@ -80,6 +86,7 @@ class RenderConfig:
     max_per_tile: int = 1024
     use_pallas: bool = False
     tight_radius: bool = False
+    debug_checks: bool = False
 
     def instance_capacity(self, num_gaussians: int) -> int:
         cap = self.capacity if self.capacity is not None else int(
@@ -87,6 +94,37 @@ class RenderConfig:
         )
         # Round up so the instance axis tiles evenly onto (8, 128) f32 lanes.
         return max(1024, -(-cap // 1024) * 1024)
+
+    def with_env_overrides(self) -> "RenderConfig":
+        """Apply TPUSPLAT_* environment overrides (the analogue of the
+        reference's VKGS_ env layer, ``apps/viewer/main.cpp:46-50``:
+        VKGS_VALIDATION_LAYERS / VKGS_PHYSICAL_DEVICE /
+        VKGS_IMMEDIATE_SWAPCHAIN), covering the knobs that matter on TPU.
+
+        Precedence mirrors the reference: CLI flag > env var > default —
+        callers apply this to the config built from defaults, then overlay
+        explicit CLI choices.
+        """
+        import os
+
+        def _bool(v: str) -> bool:
+            return v.strip().lower() not in ("", "0", "false", "off", "no")
+
+        env = {
+            "TPUSPLAT_USE_PALLAS": ("use_pallas", _bool),
+            "TPUSPLAT_TIGHT_RADIUS": ("tight_radius", _bool),
+            "TPUSPLAT_DEBUG_CHECKS": ("debug_checks", _bool),
+            "TPUSPLAT_CAPACITY_MULT": ("capacity_mult", float),
+            "TPUSPLAT_CAPACITY": ("capacity", int),
+            "TPUSPLAT_MAX_PER_TILE": ("max_per_tile", int),
+            "TPUSPLAT_SH_DEGREE": ("sh_degree", int),
+        }
+        updates = {}
+        for var, (field, conv) in env.items():
+            raw = os.environ.get(var)
+            if raw is not None:
+                updates[field] = conv(raw)
+        return dataclasses.replace(self, **updates) if updates else self
 
     def tile_grid(self, width: int, height: int) -> tuple[int, int]:
         """(tiles_x, tiles_y), ceil-divided like ``preprocess.comp:127``."""

@@ -99,8 +99,8 @@ class BinnedInstances:
     (measured cheaper on TPU than any gather/scatter permutation — see
     docs/PROFILE.md) so no emission-order bookkeeping is carried."""
 
-    gauss_id: jax.Array  # [C] int32 sorted payload (gaussian index)
-    tile_id: jax.Array  # [C] int32 sorted tile index (sentinel = num_tiles)
+    gauss_id: jax.Array  # [C] int32 sorted payload (sentinel = N)
+    tile_id: jax.Array  # [C] int32 sorted tile index (sentinel = INT32_MAX)
     tile_start: jax.Array  # [T] int32
     tile_end: jax.Array  # [T] int32
     num_instances: jax.Array  # scalar int32 (valid, pre-clamp)

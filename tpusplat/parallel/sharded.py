@@ -179,8 +179,20 @@ def sharded_train_step(
     )(trainable)
     updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
     params = merge_trainable(optax.apply_updates(trainable, updates), alive)
+    # In-graph overflow gate (see train/step.py): never apply a step whose
+    # gradients were computed from a truncated instance buffer — the host
+    # regrows capacity and retries from the unchanged (donated-in-place)
+    # state, matching the reference's retry semantics
+    # (src/Renderer.cpp:541-563).
+    ok = jnp.sum(overflow) == 0
+    keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+        lambda a, b: jnp.where(ok, a, b), new, old
+    )
     state = dataclasses.replace(
-        state, params=params, opt_state=opt_state, step=state.step + 1
+        state,
+        params=keep(params, state.params),
+        opt_state=keep(opt_state, state.opt_state),
+        step=state.step + jnp.where(ok, 1, 0),
     )
     return state, dict(
         loss=loss, capacity_overflow=overflow, tile_overflow=tile_ovf

@@ -48,6 +48,15 @@ def render_stages(params: GaussianParams, camera: Camera, cfg: RenderConfig):
     # Per-Gaussian visibility/extent stats for densification (train/densify.py).
     aux["visible"] = pg.ntiles > 0
     aux["radius"] = pg.radius
+    if cfg.debug_checks:
+        from tpusplat.ops import validate
+
+        with jax.named_scope("gs_validate"):
+            aux["debug"] = {
+                **validate.check_processed(pg),
+                **validate.check_binned(binned, params.means.shape[0]),
+                **validate.check_image(img),
+            }
     return img, aux
 
 
@@ -55,7 +64,11 @@ def render(params: GaussianParams, camera: Camera, cfg: RenderConfig | None = No
     """Render one image [H, W, 3] float32 (the ``draw()`` analogue)."""
     if cfg is None:
         cfg = RenderConfig()
-    img, _ = render_stages(params, camera, cfg)
+    img, aux = render_stages(params, camera, cfg)
+    if cfg.debug_checks:
+        from tpusplat.ops.validate import raise_on_violations
+
+        raise_on_violations(aux)
     return img
 
 
@@ -78,6 +91,7 @@ def render_auto(
     frames reuse the grown capacity's compiled executable.
     """
     import dataclasses
+    import warnings
 
     if cfg is None:
         cfg = RenderConfig()
@@ -90,6 +104,16 @@ def render_auto(
         needed = cap_now + overflow
         cfg = dataclasses.replace(cfg, capacity=int(needed * growth))
         max_regrows -= 1
+    if overflow > 0:
+        # Never return a silently truncated frame: the reference retries
+        # until its sort buffer fits (src/Renderer.cpp:541-563).
+        warnings.warn(
+            f"render_auto: image truncated — {overflow} instances beyond "
+            f"capacity {cfg.instance_capacity(params.num_gaussians)} after "
+            "exhausting max_regrows",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return img, aux, cfg
 
 

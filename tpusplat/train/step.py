@@ -111,6 +111,19 @@ def train_step(
     updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
     params = merge_trainable(optax.apply_updates(trainable, updates), alive)
 
+    # Exact overflow recovery, part 1 (in-graph): a step whose instance
+    # buffer overflowed computed gradients from silently dropped instances.
+    # The reference never applies such a frame — it regrows the sort buffer
+    # and retries (src/Renderer.cpp:541-563, goto at 383). Here the update is
+    # gated to a no-op so the host loop can regrow capacity and retry from an
+    # unchanged state, however lazily it polls the overflow counter.
+    ok = aux["capacity_overflow"] == 0
+    keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+        lambda a, b: jnp.where(ok, a, b), new, old
+    )
+    params = keep(params, state.params)
+    opt_state = keep(opt_state, state.opt_state)
+
     # Densification statistics: screen-space positional gradient magnitude
     # (d loss / d means projected through uv is the 3DGS criterion; we use
     # the world-mean gradient norm scaled by depth as a cheap proxy that
@@ -129,9 +142,12 @@ def train_step(
     state = TrainState(
         params=params,
         opt_state=opt_state,
-        step=state.step + 1,
-        grad_accum=state.grad_accum + gnorm,
-        grad_count=state.grad_count + visible.astype(jnp.float32),
-        max_radii=jnp.maximum(state.max_radii, radius),
+        step=state.step + jnp.where(ok, 1, 0),
+        grad_accum=state.grad_accum + jnp.where(ok, gnorm, 0.0),
+        grad_count=state.grad_count
+        + jnp.where(ok, visible.astype(jnp.float32), 0.0),
+        max_radii=jnp.where(
+            ok, jnp.maximum(state.max_radii, radius), state.max_radii
+        ),
     )
     return state, metrics
