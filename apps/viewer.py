@@ -71,6 +71,11 @@ def main(argv=None):
     p.add_argument("--orbit", type=int, default=0,
                    help="render N orbit frames around the target")
     p.add_argument("--xla", action="store_true", help="use the XLA rasterizer")
+    p.add_argument("-i", "--interactive", action="store_true",
+                   help="keyboard-driven terminal loop (wasd/ec move, arrows "
+                        "look, q quit) with live metrics")
+    p.add_argument("--cols", type=int, default=96,
+                   help="interactive terminal preview width in characters")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -97,6 +102,25 @@ def main(argv=None):
         cfg = _dc.replace(cfg, use_pallas=False)
     elif "TPUSPLAT_USE_PALLAS" not in os.environ:
         cfg = _dc.replace(cfg, use_pallas=True)
+
+    if args.interactive:
+        import dataclasses as _dc2
+
+        from tpusplat.interactive import run_interactive
+        from tpusplat.session import Session, SessionConfig
+
+        sess = Session(
+            SessionConfig(width=args.width, height=args.height, fov=args.fov,
+                          render=_dc2.replace(cfg, tight_radius=True)),
+            params=params,
+        )
+        sess.position = np.asarray(args.camera, np.float64)
+        stats = run_interactive(sess, cols=args.cols)
+        print(json.dumps(dict(frames=stats["frames"],
+                              seconds=round(stats["seconds"], 2),
+                              ema_ms=round(stats["ema_ms"] or 0.0, 1))),
+              file=sys.stderr)
+        return
 
     frames = max(args.orbit, 1)
     center = np.asarray(args.target)
