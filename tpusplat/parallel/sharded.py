@@ -55,6 +55,116 @@ def params_sharding(mesh: Mesh):
     )
 
 
+def _shard_render_body(
+    p_shard: GaussianParams,
+    cam: Camera,
+    cfg: RenderConfig,
+    width: int,
+    height: int,
+    nrows: int,
+    cap_shard: int,
+):
+    """Per-shard render body (runs INSIDE shard_map over ("data", "tile")).
+
+    Preprocesses the local Gaussian shard for each local camera, all-gathers
+    the compact screen-space attributes over ``tile`` (transpose:
+    psum-scatter, which is what reduces parameter gradients over the tile
+    axis in backward), and renders this shard's strip of tile rows.
+
+    Returns (strips [B_local, nrows*tile_h, width, 3], overflow [B_local],
+    tile_overflow [B_local]).
+    """
+    # [B_local] cameras; preprocess local Gaussian shard for each camera.
+    pg_local = jax.vmap(lambda v, pr, cp, tx, ty: preprocess(
+        p_shard,
+        Camera(view=v, proj=pr, cam_pos=cp, tan_fovx=tx, tan_fovy=ty,
+               width=width, height=height),
+        cfg,
+    ))(cam.view, cam.proj, cam.cam_pos, cam.tan_fovx, cam.tan_fovy)
+
+    # Exchange compact attributes so every shard sees all Gaussians.
+    pg_full = jax.tree_util.tree_map(
+        lambda x: lax.all_gather(x, "tile", axis=1, tiled=True), pg_local
+    )
+
+    row0 = lax.axis_index("tile") * nrows
+
+    def render_one(pg):
+        binned = bin_and_sort(pg, width, height, cfg, row0, nrows, cap_shard)
+        if cfg.use_pallas:
+            from tpusplat.ops.rasterize_pallas import rasterize_pallas
+
+            img, aux = rasterize_pallas(pg, binned, width, height, cfg, row0, nrows)
+        else:
+            img, aux = rasterize_xla(pg, binned, width, height, cfg, row0, nrows)
+        # tile_overflow: instances silently dropped past max_per_tile in
+        # the XLA path (the Pallas kernel streams true ranges -> 0). Must
+        # be surfaced, not swallowed: a dense tile losing contributions
+        # with no signal corrupts training undetectably.
+        return img, aux["capacity_overflow"], aux["tile_overflow"]
+
+    # lax.map (not vmap): pallas_call doesn't batch, and the per-camera
+    # work is large enough that sequencing costs nothing.
+    return lax.map(render_one, pg_full)
+
+
+_SSIM_HALO = 5  # 11x11 window -> 5 context rows each side
+
+
+def _strip_loss_local(
+    strips: jax.Array,
+    targets: jax.Array,
+    row0_px,
+    total_rows_px: int,
+    height: int,
+    width: int,
+    ssim_weight: float,
+) -> jax.Array:
+    """This shard's exact contribution to the full-image gs_loss.
+
+    The L1 term is pointwise; the SSIM term needs _SSIM_HALO rows of context
+    across strip boundaries, exchanged with two ``ppermute`` steps (the
+    rendering analogue of ring-attention halo exchange — SURVEY.md §5
+    long-context row). Rows past the true image height are masked to zero,
+    which reproduces the full-image SAME zero padding exactly; shards at the
+    chain ends receive ppermute's zero fill, which IS the image-boundary
+    padding. Summing psum(loss_local) over ("data", "tile") and adding the
+    ``ssim_weight`` constant therefore equals gs_loss on the full gathered
+    image up to fp reassociation.
+    """
+    from tpusplat.train.losses import ssim_map
+
+    b, sh, _, c = strips.shape
+    img = strips[:, :, :width, :]
+    rows_abs = row0_px + jnp.arange(sh)
+    valid = (rows_abs < height).astype(img.dtype)  # [sh]
+    img = img * valid[None, :, None, None]
+
+    s_tile = lax.axis_size("tile")
+    down = [(j, j + 1) for j in range(s_tile - 1)]  # my bottom rows -> next's top halo
+    up = [(j, j - 1) for j in range(1, s_tile)]  # my top rows -> prev's bottom halo
+    top_halo = lax.ppermute(img[:, -_SSIM_HALO:], "tile", down)
+    bot_halo = lax.ppermute(img[:, :_SSIM_HALO], "tile", up)
+    ext_img = jnp.concatenate([top_halo, img, bot_halo], axis=1)
+
+    # Target context from the full-height target: rows [row0-5, row0+sh+5),
+    # zero-padded outside [0, height) — pad so the dynamic slice stays in
+    # range for every shard (row0 is traced via axis_index).
+    tpad = jnp.pad(
+        targets,
+        ((0, 0), (_SSIM_HALO, total_rows_px + 2 * _SSIM_HALO - height), (0, 0), (0, 0)),
+    )
+    ext_tgt = lax.dynamic_slice_in_dim(tpad, row0_px, sh + 2 * _SSIM_HALO, axis=1)
+
+    l1_sum = jnp.sum(jnp.abs(img - ext_tgt[:, _SSIM_HALO:_SSIM_HALO + sh]))
+    smap = ssim_map(ext_img, ext_tgt)[:, _SSIM_HALO:_SSIM_HALO + sh]
+    ssim_sum = jnp.sum(smap * valid[None, :, None, None])
+
+    # Full batch size = data_size * B_local.
+    n_total = lax.axis_size("data") * b * height * width * c
+    return ((1.0 - ssim_weight) * l1_sum - ssim_weight * ssim_sum) / n_total
+
+
 def render_sharded(
     params: GaussianParams,
     cameras: Camera,
@@ -77,38 +187,9 @@ def render_sharded(
     cap_shard = cfg.instance_capacity(max(n // n_tile, 1))
 
     def body(p_shard: GaussianParams, cam: Camera):
-        # [B_local] cameras; preprocess local Gaussian shard for each camera.
-        pg_local = jax.vmap(lambda v, pr, cp, tx, ty: preprocess(
-            p_shard,
-            Camera(view=v, proj=pr, cam_pos=cp, tan_fovx=tx, tan_fovy=ty,
-                   width=width, height=height),
-            cfg,
-        ))(cam.view, cam.proj, cam.cam_pos, cam.tan_fovx, cam.tan_fovy)
-
-        # Exchange compact attributes so every shard sees all Gaussians.
-        pg_full = jax.tree_util.tree_map(
-            lambda x: lax.all_gather(x, "tile", axis=1, tiled=True), pg_local
+        strip, overflow, tile_ovf = _shard_render_body(
+            p_shard, cam, cfg, width, height, nrows, cap_shard
         )
-
-        row0 = lax.axis_index("tile") * nrows
-
-        def render_one(pg):
-            binned = bin_and_sort(pg, width, height, cfg, row0, nrows, cap_shard)
-            if cfg.use_pallas:
-                from tpusplat.ops.rasterize_pallas import rasterize_pallas
-
-                img, aux = rasterize_pallas(pg, binned, width, height, cfg, row0, nrows)
-            else:
-                img, aux = rasterize_xla(pg, binned, width, height, cfg, row0, nrows)
-            # tile_overflow: instances silently dropped past max_per_tile in
-            # the XLA path (the Pallas kernel streams true ranges -> 0). Must
-            # be surfaced, not swallowed: a dense tile losing contributions
-            # with no signal corrupts training undetectably.
-            return img, aux["capacity_overflow"], aux["tile_overflow"]
-
-        # lax.map (not vmap): pallas_call doesn't batch, and the per-camera
-        # work is large enough that sequencing costs nothing.
-        strip, overflow, tile_ovf = lax.map(render_one, pg_full)
         return strip, jnp.sum(overflow)[None], jnp.sum(tile_ovf)[None]
 
     strips, overflow, tile_ovf = jax.shard_map(
@@ -185,6 +266,124 @@ def sharded_train_step(
     # state, matching the reference's retry semantics
     # (src/Renderer.cpp:541-563).
     ok = jnp.sum(overflow) == 0
+    keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+        lambda a, b: jnp.where(ok, a, b), new, old
+    )
+    state = dataclasses.replace(
+        state,
+        params=keep(params, state.params),
+        opt_state=keep(opt_state, state.opt_state),
+        step=state.step + jnp.where(ok, 1, 0),
+    )
+    return state, dict(
+        loss=loss, capacity_overflow=overflow, tile_overflow=tile_ovf
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "optimizer", "mesh", "ssim_weight", "grad_reduce"),
+    donate_argnames=("state",),
+)
+def sharded_train_step_overlap(
+    state,
+    cameras: Camera,
+    targets: jax.Array,
+    cfg: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    ssim_weight: float = 0.2,
+    grad_reduce: str = "ring",
+):
+    """Overlap-ready sharded training step.
+
+    Differences from :func:`sharded_train_step` (the monolithic baseline):
+
+      * value_and_grad runs INSIDE the shard_map body, so the loss is
+        computed per strip with exact halo-exchange SSIM
+        (:func:`_strip_loss_local`) instead of gathering the full image —
+        the image all-gather and its backward scatter disappear entirely.
+      * The parameter-gradient reduction over the ``data`` axis is an
+        explicit ppermute ring (``grad_reduce="ring"``,
+        collectives.ring_all_reduce) in 2(S-1) independent steps that XLA's
+        latency-hiding scheduler can overlap with the remaining backward
+        compute, instead of one fused trailing psum (``grad_reduce="psum"``
+        keeps the fused collective for A/B comparison). The tile-axis
+        reduction stays the all_gather transpose (psum-scatter) either way.
+
+    Semantics match sharded_train_step exactly (same loss, same update,
+    same overflow no-op gate) up to fp reassociation of the reductions.
+    """
+    from tpusplat.parallel.collectives import ring_all_reduce
+    from tpusplat.train.step import merge_trainable, split_trainable
+
+    n_tile = mesh.shape["tile"]
+    width, height = cameras.width, cameras.height
+    nrows = _rows_per_shard(height, cfg, n_tile)
+    n = state.params.num_gaussians
+    cap_shard = cfg.instance_capacity(max(n // n_tile, 1))
+    total_rows_px = n_tile * nrows * cfg.tile_h
+
+    trainable, alive = split_trainable(state.params)
+
+    def body(tr, alv, cam, tgt):
+        row0_px = lax.axis_index("tile") * nrows * cfg.tile_h
+
+        def loss_fn(tr):
+            strips, ovf, tovf = _shard_render_body(
+                merge_trainable(tr, alv), cam, cfg, width, height, nrows,
+                cap_shard,
+            )
+            loss_local = _strip_loss_local(
+                strips, tgt, row0_px, total_rows_px, height, width, ssim_weight
+            )
+            return loss_local, (jnp.sum(ovf), jnp.sum(tovf))
+
+        (loss_local, (ovf, tovf)), g = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(tr)
+        # g is already reduced over 'tile' (all_gather transpose inside
+        # loss_fn); reduce over 'data' with the overlap-ready ring.
+        if grad_reduce == "ring":
+            g = ring_all_reduce(g, "data")
+        else:
+            g = jax.tree_util.tree_map(lambda x: lax.psum(x, "data"), g)
+        loss = lax.psum(loss_local, ("data", "tile")) + ssim_weight
+        ovf = lax.psum(ovf, ("data", "tile"))
+        tovf = lax.psum(tovf, ("data", "tile"))
+        return loss, ovf, tovf, g
+
+    pspec = {
+        "means": P("tile", None),
+        "log_scales": P("tile", None),
+        "quats": P("tile", None),
+        "opacities": P("tile"),
+        "sh": P("tile", None, None),
+    }
+    loss, overflow, tile_ovf, grads = jax.shard_map(
+        body,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            pspec,
+            P("tile"),
+            Camera(
+                view=P("data", None, None),
+                proj=P("data", None, None),
+                cam_pos=P("data", None),
+                tan_fovx=P("data"),
+                tan_fovy=P("data"),
+                width=width,
+                height=height,
+            ),
+            P("data", None, None, None),
+        ),
+        out_specs=(P(), P(), P(), pspec),
+    )(trainable, alive, cameras, targets)
+
+    updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+    params = merge_trainable(optax.apply_updates(trainable, updates), alive)
+    ok = overflow == 0
     keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
         lambda a, b: jnp.where(ok, a, b), new, old
     )

@@ -23,15 +23,14 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jax.Array:
     return jnp.outer(g, g)
 
 
-def ssim(img: jax.Array, target: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
-    """Mean SSIM over an [H, W, C] (or [B, H, W, C]) image pair.
+def ssim_map(img: jax.Array, target: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Per-pixel SSIM map for [B, H, W, C] pairs (SAME zero padding).
 
     Standard constants C1 = 0.01^2, C2 = 0.03^2 for [0, 1] range; 11x11
     Gaussian window, matching the original 3DGS training code's settings.
+    Exposed separately so the tile-sharded strip loss can compute exact
+    per-row contributions with halo exchange (parallel/sharded.py).
     """
-    if img.ndim == 3:
-        img = img[None]
-        target = target[None]
     win = _gaussian_window(size, sigma)[:, :, None, None]  # [k, k, 1, 1]
     c = img.shape[-1]
     kernel = jnp.tile(win, (1, 1, 1, c))  # depthwise
@@ -57,7 +56,15 @@ def ssim(img: jax.Array, target: jax.Array, size: int = 11, sigma: float = 1.5) 
     c1, c2 = 0.01**2, 0.03**2
     num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
     den = (mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2)
-    return jnp.mean(num / den)
+    return num / den
+
+
+def ssim(img: jax.Array, target: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM over an [H, W, C] (or [B, H, W, C]) image pair."""
+    if img.ndim == 3:
+        img = img[None]
+        target = target[None]
+    return jnp.mean(ssim_map(img, target, size, sigma))
 
 
 def gs_loss(img: jax.Array, target: jax.Array, ssim_weight: float = 0.2) -> jax.Array:
