@@ -41,6 +41,10 @@ def main():
     # instances at 1080p (mean 4.1 tiles/Gaussian) — calibrated via preprocess.
     scale = dict(
         garden=dict(n=1_400_000, w=1920, h=1080, sh=3, cap=4, srange=(0.002, 0.02)),
+        # bicycle: BASELINE config 5's single-chip scale (~6M Gaussians,
+        # 1600x1063) — the HBM-fit proof point (attr slab + sort operands).
+        bicycle=dict(n=6_000_000, w=1600, h=1063, sh=3, cap=3,
+                     srange=(0.0012, 0.012)),
         mid=dict(n=100_000, w=800, h=800, sh=3, cap=8, srange=(0.004, 0.04)),
         small=dict(n=10_000, w=256, h=256, sh=0, cap=8, srange=(0.004, 0.04)),
     )[conf]

@@ -56,6 +56,8 @@ def main():
     conf = sys.argv[1] if len(sys.argv) > 1 else "garden"
     scale = dict(
         garden=dict(n=1_400_000, w=1920, h=1080, sh=3, cap=4, srange=(0.002, 0.02)),
+        bicycle=dict(n=6_000_000, w=1600, h=1063, sh=3, cap=3,
+                     srange=(0.0012, 0.012)),
         mid=dict(n=100_000, w=800, h=800, sh=3, cap=8, srange=(0.004, 0.04)),
         small=dict(n=10_000, w=256, h=256, sh=0, cap=8, srange=(0.004, 0.04)),
     )[conf]

@@ -1,0 +1,175 @@
+"""TPU-executed correctness gate.
+
+Runs on the REAL chip (refuses to certify anything else) and checks the
+hardware-compiled Pallas kernels against two independent oracles:
+
+  1. BASELINE config 2 (100k Gaussians @ 800x800, SH3): Pallas-vs-XLA image
+     and full-parameter gradient allclose. Catches Mosaic-only failure
+     modes the CPU interpreter cannot see (MXU bf16 routing, sublane tiling
+     of the DMA slabs, PrefetchScalarGridSpec semantics).
+  2. BASELINE config 1 scale (6k @ 128x128, SH0): Pallas image + gradients
+     vs autodiff of the naive O(N*pixels) ``golden_render_jnp`` oracle —
+     a fully independent formulation with none of the pipeline machinery.
+
+Prints a human table to stderr and ONE JSON line to stdout with every
+max-abs-diff (gradients normalized by the XLA/golden gradient's max-abs, so
+tolerances are scale-free). Exit code 0 = all tolerances met. The committed
+artifact lives at ``TPU_GATE_r{N}.json`` / ``docs/TPU_GATE.md``.
+
+The verification keystone the reference gets from Vulkan validation layers +
+eyeballs (``src/vulkan/VulkanContext.cpp:11-35``); we get it from oracle
+agreement on the production hardware.
+
+Run: python -m tpusplat.bench.tpu_gate
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Gradients are compared normalized by the oracle's max-abs: |g_p - g_o| / max|g_o|.
+IMG_ATOL = 3e-5  # absolute: images are in [0, 1]
+GRAD_ATOL = 1e-4  # relative to the parameter's gradient scale
+GOLDEN_IMG_ATOL = 1e-4  # independent oracle, fp reassociation differs more
+GOLDEN_GRAD_ATOL = 5e-4
+
+
+def _grad_diffs(g_ref, g_test):
+    out = {}
+    for f in ("means", "log_scales", "quats", "opacities", "sh"):
+        a = np.asarray(g_ref[f], np.float64)
+        b = np.asarray(g_test[f], np.float64)
+        scale = np.abs(a).max() + 1e-12
+        out[f] = float(np.abs(b - a).max() / scale)
+    return out
+
+
+def check_pallas_vs_xla(n=100_000, w=800, h=800, sh=3, seed=3):
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.render import render_stages
+    from tpusplat.train.step import merge_trainable, split_trainable
+
+    params = random_scene(n, seed=seed, sh_degree=sh, scale_range=(0.004, 0.04),
+                          extent=4.0)
+    cam = look_at_camera([0.0, 0.5, 9.0], [0.0, 0.0, 0.0], w, h, fov_deg=60.0)
+    cfg_x = RenderConfig(sh_degree=sh, capacity_mult=8, max_per_tile=4096,
+                         use_pallas=False)
+    cfg_p = dataclasses.replace(cfg_x, use_pallas=True)
+
+    img_x, aux_x = render_stages(params, cam, cfg_x)
+    img_p, aux_p = render_stages(params, cam, cfg_p)
+    assert int(aux_p["capacity_overflow"]) == 0, "gate scene overflowed capacity"
+    assert int(aux_x["tile_overflow"]) == 0, "gate scene overflowed max_per_tile"
+
+    trainable, alive = split_trainable(params)
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.uniform(0, 1, (h, w, 3)), jnp.float32)
+
+    def loss(tr, cfg):
+        img, _ = render_stages(merge_trainable(tr, alive), cam, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    g_x = jax.jit(jax.grad(loss), static_argnums=1)(trainable, cfg_x)
+    g_p = jax.jit(jax.grad(loss), static_argnums=1)(trainable, cfg_p)
+
+    res = {
+        "img_max_abs_diff": float(
+            np.abs(np.asarray(img_p, np.float64) - np.asarray(img_x, np.float64)).max()
+        ),
+        "num_instances": int(aux_p["num_instances"]),
+        "grad_max_rel_diff": _grad_diffs(g_x, g_p),
+    }
+    ok = res["img_max_abs_diff"] <= IMG_ATOL and all(
+        v <= GRAD_ATOL for v in res["grad_max_rel_diff"].values()
+    )
+    return res, ok
+
+
+def check_pallas_vs_golden(n=6_000, w=128, h=128, sh=0, seed=1):
+    # The golden oracle materializes dense [N, pixels] intermediates and
+    # their autodiff residuals (~10 live tensors); 6k x 128^2 keeps it under
+    # ~4 GB of HBM. 10k @ 256^2 needs 19.5 GB and OOMs a 16 GB v5e.
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.ops.golden import golden_render_jnp
+    from tpusplat.render import render_stages
+    from tpusplat.train.step import merge_trainable, split_trainable
+
+    params = random_scene(n, seed=seed, sh_degree=sh, scale_range=(0.004, 0.04),
+                          extent=4.0)
+    cam = look_at_camera([0.0, 0.5, 9.0], [0.0, 0.0, 0.0], w, h, fov_deg=60.0)
+    cfg = RenderConfig(sh_degree=sh, capacity_mult=8, use_pallas=True)
+
+    img_p, aux_p = render_stages(params, cam, cfg)
+    assert int(aux_p["capacity_overflow"]) == 0
+    img_g = jax.jit(golden_render_jnp, static_argnums=2)(params, cam, cfg)
+
+    trainable, alive = split_trainable(params)
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(rng.uniform(0, 1, (h, w, 3)), jnp.float32)
+
+    def loss_p(tr):
+        img, _ = render_stages(merge_trainable(tr, alive), cam, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_g(tr):
+        img = golden_render_jnp(merge_trainable(tr, alive), cam, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    g_p = jax.jit(jax.grad(loss_p))(trainable)
+    g_g = jax.jit(jax.grad(loss_g))(trainable)
+
+    res = {
+        "img_max_abs_diff": float(
+            np.abs(np.asarray(img_p, np.float64) - np.asarray(img_g, np.float64)).max()
+        ),
+        "num_instances": int(aux_p["num_instances"]),
+        "grad_max_rel_diff": _grad_diffs(g_g, g_p),
+    }
+    ok = res["img_max_abs_diff"] <= GOLDEN_IMG_ATOL and all(
+        v <= GOLDEN_GRAD_ATOL for v in res["grad_max_rel_diff"].values()
+    )
+    return res, ok
+
+
+def main():
+    backend = jax.default_backend()
+    if backend != "tpu":
+        print(json.dumps({"skipped": True, "backend": backend}))
+        print("tpu_gate: no TPU backend — nothing certified", file=sys.stderr)
+        return 0
+
+    out = {"backend": backend, "device": str(jax.devices()[0].device_kind)}
+    print("tpu_gate: Pallas vs XLA @ 100k/800x800 SH3 ...", file=sys.stderr, flush=True)
+    res_x, ok_x = check_pallas_vs_xla()
+    out["pallas_vs_xla_100k_800"] = {**res_x, "pass": ok_x}
+    print(f"  img max|diff| = {res_x['img_max_abs_diff']:.3g}  "
+          f"grads = {res_x['grad_max_rel_diff']}  pass={ok_x}", file=sys.stderr)
+
+    print("tpu_gate: Pallas vs golden autodiff @ 6k/128x128 SH0 ...",
+          file=sys.stderr, flush=True)
+    res_g, ok_g = check_pallas_vs_golden()
+    out["pallas_vs_golden_6k_128"] = {**res_g, "pass": ok_g}
+    print(f"  img max|diff| = {res_g['img_max_abs_diff']:.3g}  "
+          f"grads = {res_g['grad_max_rel_diff']}  pass={ok_g}", file=sys.stderr)
+
+    out["pass"] = ok_x and ok_g
+    out["tolerances"] = {
+        "img_atol": IMG_ATOL, "grad_atol": GRAD_ATOL,
+        "golden_img_atol": GOLDEN_IMG_ATOL, "golden_grad_atol": GOLDEN_GRAD_ATOL,
+    }
+    print(json.dumps(out))
+    return 0 if out["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

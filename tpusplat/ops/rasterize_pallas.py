@@ -25,12 +25,15 @@ reference lacks. Design (TPU-native, no atomics, no scattered writes):
   * Backward recomputes the forward walk (front-to-back) using the saved
     final color/transmittance: dL/dalpha_g needs the suffix color sum
     S_after = c_final - c_incl_g, available from a running inclusive sum.
-    Per-instance gradients reduce over pixels and DMA back to a [16, C]
-    buffer. This is race-free without atomics: every instance belongs to
-    exactly one tile, the grid runs sequentially, and boundary lanes use a
-    preload-merge writeback so a tile never clobbers its neighbours' rows.
-    The per-Gaussian reduction then un-sorts the gradient rows to emission
-    order (where each Gaussian's rows are contiguous) and reduces runs with
+    Per-instance gradients reduce over pixels and stream back to a [16, C]
+    buffer in 128-lane granules. This is race-free without atomics: every
+    instance belongs to exactly one tile, the grid runs sequentially, and
+    the one granule shared by two adjacent tiles is handed forward through
+    a persistent VMEM carry buffer and written once by the later tile — no
+    gradient preload from HBM, so writebacks pipeline freely under the
+    compute (see _backward_kernel).
+    The per-Gaussian reduction then re-sorts the gradient rows by gaussian
+    id (where each Gaussian's rows are contiguous) and reduces runs with
     a second matmul-based Pallas kernel (_segment_reduce_kernel) — the
     'segment reduction instead of atomicAdd' strategy, SURVEY.md §7 hard
     part 2, with zero scatters anywhere in the backward path.
@@ -114,6 +117,34 @@ def _cumsum_sublane(x):
     return _scan_sublane(x, lax.add, jnp.float32(0.0))
 
 
+def _tri_lower(k):
+    """[k, k] lower-triangular ones (diag included) for MXU prefix sums."""
+    r = lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (r >= c).astype(jnp.float32)
+
+
+def _cumsum_mxu(x, tri):
+    """Inclusive sublane cumsum as ONE triangular matmul.
+
+    (tri @ x)[i, p] = sum_{j<=i} x[j, p]. The MXU is idle during the blend's
+    VPU-bound chunks, so this replaces the ~12-pass vector scan for free
+    (fp reassociation differs; each addend is exact)."""
+    return _dot(tri, x)
+
+
+def _cumprod_mxu(f, tri):
+    """Inclusive sublane cumprod as exp(tri @ log(f)).
+
+    Valid because contributing f = 1 - alpha is bounded to [0.01, 1] by the
+    alpha_max clamp (``render.comp:77``) and masked rows carry exactly
+    f = 1 -> log f = 0, which cannot perturb the sums. Trades the vector
+    scan for one log, one MXU matmul, and one exp; relative error is
+    ~1e-6 per chunk (bounded by f32 eps * |log T|), inside every parity
+    tolerance."""
+    return jnp.exp(_dot(tri, jnp.log(f)))
+
+
 def _pixel_coords(tile_id, tiles_x, tile_w, tile_h, row0):
     """Pixel-center coordinates for this tile: two [1, P] f32 vectors."""
     npx = tile_w * tile_h
@@ -171,12 +202,12 @@ def _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg: RenderConfig):
     )
 
 
-def _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg, inner):
+def _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg, inner, tri):
     """One CK-chunk of the forward blend. inner = (T [1,P], c3 [3,P])."""
     t_acc, c3 = inner
     slab_t = jnp.transpose(buf_ref[:, pl.ds(base, CK)], (1, 0))  # [CK, ATTR_W]
     ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
-    cumf = _cumprod_sublane(ch["f"])
+    cumf = _cumprod_mxu(ch["f"], tri)
     t_incl = t_acc * cumf  # [CK, P]
     t_excl = t_acc * _excl_from_incl(cumf)
     contrib = ch["ok"] & (t_incl >= cfg.t_min)
@@ -198,6 +229,7 @@ def _forward_kernel(
     through two rolling slots (the dense-tile case)."""
     base_t = pl.program_id(0) * GROUP
     npx = tile_w * tile_h
+    tri = _tri_lower(CK)
 
     def tile_info(j):
         t = base_t + j
@@ -219,14 +251,24 @@ def _forward_kernel(
         nwin = pl.cdiv(end - a_start, WIN)
 
         def chunks_of(buf_ref, off, carry):
-            def chunk(k, inner):
+            nck = jnp.clip(pl.cdiv(end - off, CK), 0, WIN // CK)
+
+            def cond(state):
+                k, inner = state
+                # Chunk-level early exit: T is monotone, so a dead tile
+                # skips the remaining chunks exactly (``render.comp:82-84``).
+                return (k < nck) & (jnp.max(inner[0]) >= cfg.t_min)
+
+            def body(state):
+                k, inner = state
                 base = pl.multiple_of(k * CK, CK)
                 lo = start - (off + base)
                 hi = end - (off + base)
-                return _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg, inner)
+                out = _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg,
+                                   inner, tri)
+                return k + 1, out
 
-            nck = jnp.clip(pl.cdiv(end - off, CK), 0, WIN // CK)
-            return lax.fori_loop(0, nck, chunk, carry)
+            return lax.while_loop(cond, body, (jnp.int32(0), carry))[1]
 
         carry = (
             jnp.ones((1, npx), jnp.float32),
@@ -292,157 +334,282 @@ def _forward_kernel(
 
 def _backward_kernel(
     starts_ref, ends_ref, row0_ref, attr_hbm, cot_ref, fin_ref,
-    dattr_hbm, attr_buf, grad_buf, sem, gsem,
-    *, tiles_x, tile_w, tile_h, cfg: RenderConfig,
+    dattr_hbm, head_buf, roll_buf, gout_buf, carry_buf,
+    head_sem, roll_sem, gsem,
+    *, tiles_x, tile_w, tile_h, cfg: RenderConfig, num_tiles: int,
 ):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    end = ends_ref[t]
-    a_start = (start // ALIGN) * ALIGN
+    """Pipelined backward blend: GROUP tiles per program, double-buffered
+    attribute loads, and gradient writeback in 128-lane granules.
+
+    Gradient-write ownership (the TPU answer to the reference's free
+    per-pixel scatter, ``render.comp:61-89``): tile ranges are contiguous
+    (end[t] == start[t+1]) but not lane-aligned, and DMA stores move whole
+    128-lane granules — so the boundary granule shared by two tiles is
+    written by the LATER tile only. The earlier tile leaves its partial
+    granule (its lanes filled, the rest zero) in ``carry_buf``, which
+    persists across tiles and grid programs (the grid is sequential), and
+    the next tile vector-adds it into its first granule before writing.
+    Every granule is therefore written exactly once, all in-flight stores
+    are disjoint, and no gradient preload/merge from HBM is needed at all
+    — the previous design's 3rd slab DMA and its per-window serialization
+    are gone.
+
+    Writeback pipelining: gradient windows stage through two ping-pong
+    buffers keyed by a program-global window counter ``wg``; granule
+    stores from window ``wg`` stay in flight while windows ``wg+1`` is
+    computed, and the slot is reclaimed (semaphore wait) before window
+    ``wg+2`` reuses it.
+    """
+    pid = pl.program_id(0)
+    base_t = pid * GROUP
     npx = tile_w * tile_h
-    pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_ref[0])
+    nper = WIN // CK  # granules per window
+    tri = _tri_lower(CK)
 
-    dc3 = cot_ref[0, 0:3, :]  # [3, P] color cotangents
-    dcr = cot_ref[0, 0:1, :]
-    dcg = cot_ref[0, 1:2, :]
-    dcb = cot_ref[0, 2:3, :]
-    dt_fin = cot_ref[0, 3:4, :]
-    fin_t = fin_ref[0, 3:4, :]
-    # D = sum_c dc_c * fin_c, per pixel (see dalpha identity below).
-    d_fin = jnp.sum(dc3 * fin_ref[0, 0:3, :], axis=0, keepdims=True)
-    dtf = -dt_fin * fin_t  # [1, P], hoisted out of the chunk loop
+    @pl.when(pid == 0)
+    def _():
+        carry_buf[:, :] = jnp.zeros((ATTR_W, CK), jnp.float32)
 
-    # dT != 0 disables the compute skip (those terms touch every passing
-    # Gaussian, not only pre-termination ones).
-    dt_active = jnp.max(jnp.abs(dt_fin)) > 0.0
+    # Issue every tile's first attribute window up front (cross-tile overlap).
+    for j in range(GROUP):
+        start_j = starts_ref[base_t + j]
+        a0 = (start_j // ALIGN) * ALIGN
+        pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(a0, WIN)], head_buf.at[j], head_sem.at[j]
+        ).start()
 
-    # Tile-local pixel bases for the moment matmuls (local coordinates keep
-    # the expansion of sum(dpower * dx^2) etc. cancellation-free).
-    ox = pxf[0, 0]
-    oy = pyf[0, 0]
-    pxl = pxf - ox  # [1, P]
-    pyl = pyf - oy
-    ones_p = jnp.ones((1, npx), jnp.float32)
-    basis = jnp.transpose(
-        jnp.concatenate(
-            [ones_p, pxl, pxl * pxl, pyl, pyl * pyl, pxl * pyl], axis=0
-        ),
-        (1, 0),
-    )  # [P, 6]
-    dc3_t = jnp.transpose(dc3, (1, 0))  # [P, 3]
-    ones_col = jnp.transpose(ones_p, (1, 0))  # [P, 1]
+    def wb_wait(slot, off, n):
+        """Reclaim the granule stores of the window that used ``slot``."""
+        for i in range(nper):
+            @pl.when(i < n)
+            def _():
+                pltpu.make_async_copy(
+                    gout_buf.at[slot, :, pl.ds(i * CK, CK)],
+                    dattr_hbm.at[:, pl.ds(pl.multiple_of(off + i * CK, ALIGN), CK)],
+                    gsem.at[slot, i],
+                ).wait()
 
-    nwin = pl.cdiv(end - a_start, WIN)
+    # (wg, o1, n1, o2, n2): window counter + offset/issued-granule count of
+    # the previous two windows, threaded across tiles within the program.
+    wb0 = (jnp.int32(0),) * 5
 
-    def window(w, carry):
-        # Every window's gradient lanes MUST be written (spill-over zeros for
-        # lanes past `end` are later overwritten by their owning tile), so
-        # early exit is a compute skip, not a loop break. Out-of-range lanes
-        # (head before `start`, tail after `end`) merge the preloaded
-        # neighbour values instead of zeros.
-        t_acc0 = carry[0]
-        off = a_start + w * WIN
-        active = (jnp.max(t_acc0) >= cfg.t_min) | dt_active
+    for j in range(GROUP):
+        t = base_t + j
+        start = starts_ref[t]
+        end = ends_ref[t]
+        a_start = (start // ALIGN) * ALIGN
+        pxf, pyf = _pixel_coords(t, tiles_x, tile_w, tile_h, row0_ref[0])
 
-        # Preload existing grads (neighbour tiles' lanes) for merge.
-        gload = pltpu.make_async_copy(dattr_hbm.at[:, pl.ds(off, WIN)], grad_buf, gsem)
-        gload.start()
-        aload = pltpu.make_async_copy(attr_hbm.at[:, pl.ds(off, WIN)], attr_buf, sem)
-        aload.start()
-        gload.wait()
-        aload.wait()
+        dc3 = cot_ref[j, 0:3, :]  # [3, P] color cotangents
+        dt_fin = cot_ref[j, 3:4, :]
+        fin_t = fin_ref[j, 3:4, :]
+        # D = sum_c dc_c * fin_c, per pixel (see dalpha identity below).
+        d_fin = jnp.sum(dc3 * fin_ref[j, 0:3, :], axis=0, keepdims=True)
+        dtf = -dt_fin * fin_t  # [1, P], hoisted out of the chunk loop
 
-        def chunk(k, inner):
-            t_acc, sdot = inner
-            base = pl.multiple_of(k * CK, CK)
-            slab_t = jnp.transpose(attr_buf[:, pl.ds(base, CK)], (1, 0))
-            lo = start - (off + base)
-            hi = end - (off + base)
-            ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
-            alpha, f, ok = ch["alpha"], ch["f"], ch["ok"]
-            cumf = _cumprod_sublane(f)
-            t_incl = t_acc * cumf
-            t_excl = t_acc * _excl_from_incl(cumf)
-            contrib = ok & (t_incl >= cfg.t_min)
-            wgt = jnp.where(contrib, alpha * t_excl, 0.0)
+        # dT != 0 disables the compute skip (those terms touch every passing
+        # Gaussian, not only pre-termination ones).
+        dt_active = jnp.max(jnp.abs(dt_fin)) > 0.0
 
-            # dL/dalpha. Identity: sum_c dc_c * (col_c * t_excl - S_after_c/f)
-            # with S_after_c = fin_c - incl_c collapses to ONE fused running
-            # sum because sum_c dc_c * incl_c = cumsum(wgt * dccol). dccol is
-            # one small MXU matmul instead of five [CK, P] VPU passes.
-            dccol = _dot(slab_t[:, A_CR:A_CB_ + 1], dc3)  # [CK, P]
-            incl_dot = sdot + _cumsum_sublane(wgt * dccol)
-            rf = 1.0 / f
-            dalpha = jnp.where(
-                contrib, dccol * t_excl - (d_fin - incl_dot) * rf, 0.0
-            )
-            # + transmittance cotangent (all passing rows; dtf hoisted)
-            dalpha = dalpha + jnp.where(ok, dtf * rf, 0.0)
+        # Tile-local pixel bases for the moment matmuls (local coordinates
+        # keep the expansion of sum(dpower * dx^2) etc. cancellation-free).
+        ox = pxf[0, 0]
+        oy = pyf[0, 0]
+        pxl = pxf - ox  # [1, P]
+        pyl = pyf - oy
+        ones_p = jnp.ones((1, npx), jnp.float32)
+        basis = jnp.transpose(
+            jnp.concatenate(
+                [ones_p, pxl, pxl * pxl, pyl, pyl * pyl, pxl * pyl], axis=0
+            ),
+            (1, 0),
+        )  # [P, 6]
+        dc3_t = jnp.transpose(dc3, (1, 0))  # [P, 3]
 
-            # through alpha = min(0.99, opacity * exp(power))
-            gate = ch["alpha_raw"] < cfg.alpha_max
-            da_raw = jnp.where(gate, dalpha, 0.0)
-            dpower = da_raw * ch["alpha_raw"]
+        nwin = pl.cdiv(end - a_start, WIN)
 
-            # Pixel reductions as MXU matmuls. dx = u'x - pxl with
-            # u'x = uvx - ox (tile-local), so every quadratic-form reduction
-            # is a linear combination of the moments of dpower against the
-            # local pixel basis {1, x, x^2, y, y^2, xy}.
-            m = _dot(dpower, basis)  # [CK, 6]
-            m1, mx, mx2 = m[:, 0:1], m[:, 1:2], m[:, 2:3]
-            my, my2, mxy = m[:, 3:4], m[:, 4:5], m[:, 5:6]
-            ux = ch["uvx"] - ox  # [CK, 1]
-            uy = ch["uvy"] - oy
-            g_ca = -0.5 * (ux * ux * m1 - 2.0 * ux * mx + mx2)
-            g_cb = -(ux * uy * m1 - ux * my - uy * mx + mxy)
-            g_cc = -0.5 * (uy * uy * m1 - 2.0 * uy * my + my2)
-            sx = ux * m1 - mx  # sum(dpower * dx)
-            sy = uy * m1 - my
-            g_uvx = -(ch["ca"] * sx + ch["cb"] * sy)
-            g_uvy = -(ch["cc"] * sy + ch["cb"] * sx)
-            # d/d(opacity): sum_p da_raw * epow = sum_p dpower / opacity = m1/op
-            # (dpower = da_raw * alpha_raw = da_raw * epow * op) — the moments
-            # matmul already computed the sum; no extra [CK, P] pass needed.
-            g_op = m1 / jnp.maximum(ch["op"], 1e-30)
-            g_col = _dot(wgt, dc3_t)  # [CK, 3]
+        def window_body(w, buf_ref, off, t_acc, sdot, wb):
+            wg, o1, n1, o2, n2 = wb
+            s = lax.rem(wg, 2)
+            # Reclaim the gout slot this window will stage through.
+            wb_wait(s, o2, n2)
 
-            zeros7 = jnp.zeros((CK, ATTR_W - 9), jnp.float32)
-            g = jnp.concatenate(
-                [g_uvx, g_uvy, g_ca, g_cb, g_cc, g_op, g_col, zeros7], axis=1
-            )  # [CK, ATTR_W]
-            g_t = jnp.transpose(g, (1, 0))  # [ATTR_W, CK]
-            lanes = lax.broadcasted_iota(jnp.int32, (1, CK), 1) + (off + base)
-            owned = (lanes >= start) & (lanes < end)  # [1, CK] lane mask
-            prev = grad_buf[:, pl.ds(base, CK)]
-            grad_buf[:, pl.ds(base, CK)] = jnp.where(owned, g_t, prev)
+            active = (jnp.max(t_acc) >= cfg.t_min) | dt_active
+            nck = jnp.clip(pl.cdiv(end - off, CK), 0, nper)
 
-            return t_incl[CK - 1:CK, :], incl_dot[CK - 1:CK, :]
+            def chunk(k, inner):
+                t_acc_i, sdot_i = inner
+                base = pl.multiple_of(k * CK, CK)
+                slab_t = jnp.transpose(buf_ref[:, pl.ds(base, CK)], (1, 0))
+                lo = start - (off + base)
+                hi = end - (off + base)
+                ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
+                alpha, f, ok = ch["alpha"], ch["f"], ch["ok"]
+                cumf = _cumprod_mxu(f, tri)
+                t_incl = t_acc_i * cumf
+                t_excl = t_acc_i * _excl_from_incl(cumf)
+                contrib = ok & (t_incl >= cfg.t_min)
+                wgt = jnp.where(contrib, alpha * t_excl, 0.0)
 
-        def compute(carry):
-            # Chunks wholly past `end` hold lanes owned by later tiles;
-            # skipping them is safe — the preloaded (stale) lanes written
-            # back are overwritten by their owner later in the grid.
-            nck = jnp.minimum(pl.cdiv(end - off, CK), WIN // CK)
-            return lax.fori_loop(0, nck, chunk, carry)
+                # dL/dalpha. Identity: sum_c dc_c * (col_c * t_excl -
+                # S_after_c/f) with S_after_c = fin_c - incl_c collapses to
+                # ONE fused running sum because sum_c dc_c * incl_c =
+                # cumsum(wgt * dccol). dccol is one small MXU matmul instead
+                # of five [CK, P] VPU passes; the running cumsum is a
+                # triangular matmul on the otherwise-idle MXU.
+                dccol = _dot(slab_t[:, A_CR:A_CB_ + 1], dc3)  # [CK, P]
+                incl_dot = sdot_i + _cumsum_mxu(wgt * dccol, tri)
+                rf = 1.0 / f
+                dalpha = jnp.where(
+                    contrib, dccol * t_excl - (d_fin - incl_dot) * rf, 0.0
+                )
+                # + transmittance cotangent (all passing rows; dtf hoisted)
+                dalpha = dalpha + jnp.where(ok, dtf * rf, 0.0)
 
-        def skip(carry):
-            # Zero owned lanes, preserve neighbours' preloaded lanes.
-            lanes = lax.broadcasted_iota(jnp.int32, (1, WIN), 1) + off
-            owned = (lanes >= start) & (lanes < end)
-            grad_buf[:, :] = jnp.where(owned, 0.0, grad_buf[:, :])
-            return carry
+                # through alpha = min(0.99, opacity * exp(power))
+                gate = ch["alpha_raw"] < cfg.alpha_max
+                da_raw = jnp.where(gate, dalpha, 0.0)
+                dpower = da_raw * ch["alpha_raw"]
 
-        out_carry = lax.cond(active, compute, skip, carry)
-        wb = pltpu.make_async_copy(grad_buf, dattr_hbm.at[:, pl.ds(off, WIN)], gsem)
-        wb.start()
-        wb.wait()
-        return out_carry
+                # Pixel reductions as MXU matmuls. dx = u'x - pxl with
+                # u'x = uvx - ox (tile-local), so every quadratic-form
+                # reduction is a linear combination of the moments of dpower
+                # against the local pixel basis {1, x, x^2, y, y^2, xy}.
+                m = _dot(dpower, basis)  # [CK, 6]
+                m1, mx, mx2 = m[:, 0:1], m[:, 1:2], m[:, 2:3]
+                my, my2, mxy = m[:, 3:4], m[:, 4:5], m[:, 5:6]
+                ux = ch["uvx"] - ox  # [CK, 1]
+                uy = ch["uvy"] - oy
+                g_ca = -0.5 * (ux * ux * m1 - 2.0 * ux * mx + mx2)
+                g_cb = -(ux * uy * m1 - ux * my - uy * mx + mxy)
+                g_cc = -0.5 * (uy * uy * m1 - 2.0 * uy * my + my2)
+                sx = ux * m1 - mx  # sum(dpower * dx)
+                sy = uy * m1 - my
+                g_uvx = -(ch["ca"] * sx + ch["cb"] * sy)
+                g_uvy = -(ch["cc"] * sy + ch["cb"] * sx)
+                # d/d(opacity): sum_p da_raw * epow = sum_p dpower / opacity
+                # = m1/op (dpower = da_raw * epow * op) — the moments matmul
+                # already computed the sum; no extra [CK, P] pass needed.
+                g_op = m1 / jnp.maximum(ch["op"], 1e-30)
+                g_col = _dot(wgt, dc3_t)  # [CK, 3]
 
-    init = (
-        jnp.ones((1, npx), jnp.float32),
-        jnp.zeros((1, npx), jnp.float32),
-    )
-    lax.fori_loop(0, nwin, window, init)
+                zeros7 = jnp.zeros((CK, ATTR_W - 9), jnp.float32)
+                g = jnp.concatenate(
+                    [g_uvx, g_uvy, g_ca, g_cb, g_cc, g_op, g_col, zeros7],
+                    axis=1,
+                )  # [CK, ATTR_W]; masked rows (outside [lo, hi)) are zero.
+                gout_buf[s, :, pl.ds(base, CK)] = jnp.transpose(g, (1, 0))
+                return t_incl[CK - 1:CK, :], incl_dot[CK - 1:CK, :]
+
+            def compute(inner):
+                return lax.fori_loop(0, nck, chunk, inner)
+
+            def skip(inner):
+                gout_buf[s] = jnp.zeros((ATTR_W, WIN), jnp.float32)
+                return inner
+
+            t_acc2, sdot2 = lax.cond(active, compute, skip, (t_acc, sdot))
+
+            # Granule postprocessing: merge the carried boundary granule
+            # into this tile's first granule, hold the final partial granule
+            # for the next tile, write everything else.
+            n_issued = jnp.int32(0)
+            for k in range(nper):
+                in_range = k < nck
+                g_end = off + (k + 1) * CK
+                held = in_range & (g_end > end)
+
+                @pl.when(in_range & (w == 0) & (k == 0) & (start != a_start))
+                def _():
+                    gout_buf[s, :, pl.ds(0, CK)] = (
+                        gout_buf[s, :, pl.ds(0, CK)] + carry_buf[:, :]
+                    )
+
+                @pl.when(held)
+                def _():
+                    carry_buf[:, :] = gout_buf[s, :, pl.ds(k * CK, CK)]
+
+                @pl.when(in_range & ~held)
+                def _():
+                    pltpu.make_async_copy(
+                        gout_buf.at[s, :, pl.ds(k * CK, CK)],
+                        dattr_hbm.at[:, pl.ds(pl.multiple_of(off + k * CK, ALIGN), CK)],
+                        gsem.at[s, k],
+                    ).start()
+                n_issued = n_issued + jnp.where(in_range & ~held, 1, 0)
+
+            return t_acc2, sdot2, (wg + 1, off, n_issued, o1, n1)
+
+        # ---- window 0 from the prefetched head buffer ----
+        pltpu.make_async_copy(
+            attr_hbm.at[:, pl.ds(a_start, WIN)], head_buf.at[j], head_sem.at[j]
+        ).wait()
+
+        @pl.when(nwin >= 2)
+        def _():
+            pltpu.make_async_copy(
+                attr_hbm.at[:, pl.ds(a_start + WIN, WIN)], roll_buf.at[0],
+                roll_sem.at[0],
+            ).start()
+
+        t_acc = jnp.ones((1, npx), jnp.float32)
+        sdot = jnp.zeros((1, npx), jnp.float32)
+
+        def head_case(args):
+            t_acc, sdot, wb = args
+            return window_body(jnp.int32(0), head_buf.at[j], a_start,
+                               t_acc, sdot, wb)
+
+        def head_skip(args):
+            return args[0], args[1], args[2]
+
+        t_acc, sdot, wb0 = lax.cond(
+            nwin >= 1, head_case, head_skip, (t_acc, sdot, wb0)
+        )
+
+        # ---- windows 1..nwin-1, double-buffered attr loads ----
+        def wbody(state):
+            w, t_acc, sdot, wb = state
+            slot = (w - 1) % 2
+            off = a_start + w * WIN
+            pltpu.make_async_copy(
+                attr_hbm.at[:, pl.ds(off, WIN)], roll_buf.at[slot],
+                roll_sem.at[slot],
+            ).wait()
+
+            @pl.when(w + 1 < nwin)
+            def _():
+                pltpu.make_async_copy(
+                    attr_hbm.at[:, pl.ds(off + WIN, WIN)], roll_buf.at[w % 2],
+                    roll_sem.at[w % 2],
+                ).start()
+
+            t_acc, sdot, wb = window_body(w, roll_buf.at[slot], off,
+                                          t_acc, sdot, wb)
+            return w + 1, t_acc, sdot, wb
+
+        def wcond(state):
+            return state[0] < nwin
+
+        _, _, _, wb0 = lax.while_loop(
+            wcond, wbody, (jnp.int32(1), t_acc, sdot, wb0)
+        )
+
+    # ---- program epilogue: drain in-flight granule stores ----
+    wg_f, o1, n1, o2, n2 = wb0
+    wb_wait(lax.rem(wg_f, 2), o2, n2)  # window wg-2 used slot wg%2
+    wb_wait(lax.rem(wg_f + 1, 2), o1, n1)  # window wg-1 used slot (wg-1)%2
+
+    # ---- grid epilogue: flush the final held boundary granule ----
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _():
+        end_last = ends_ref[num_tiles - 1]
+        a_flush = pl.multiple_of((end_last // ALIGN) * ALIGN, ALIGN)
+        cp = pltpu.make_async_copy(
+            carry_buf, dattr_hbm.at[:, pl.ds(a_flush, CK)], gsem.at[0, 0]
+        )
+        cp.start()
+        cp.wait()
 
 
 def _run_forward(attr, starts, ends, row0, *, tiles_x, num_tiles, tile_w, tile_h, cfg):
@@ -483,22 +650,30 @@ def _run_backward(attr, starts, ends, row0, cot, fin, *, tiles_x, num_tiles,
     kernel = functools.partial(
         _backward_kernel,
         tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, cfg=cfg,
+        num_tiles=num_tiles,
     )
     t_pad = -(-num_tiles // GROUP) * GROUP
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t_pad,),
+        grid=(t_pad // GROUP,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (GROUP, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (GROUP, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((ATTR_W, WIN), jnp.float32),
-            pltpu.VMEM((ATTR_W, WIN), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((GROUP, ATTR_W, WIN), jnp.float32),  # head attr windows
+            pltpu.VMEM((2, ATTR_W, WIN), jnp.float32),  # rolling attr windows
+            pltpu.VMEM((2, ATTR_W, WIN), jnp.float32),  # grad staging ping-pong
+            pltpu.VMEM((ATTR_W, CK), jnp.float32),  # boundary-granule carry
+            pltpu.SemaphoreType.DMA((GROUP,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, WIN // CK)),
         ],
     )
     return pl.pallas_call(
