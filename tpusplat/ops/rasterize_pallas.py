@@ -117,34 +117,6 @@ def _cumsum_sublane(x):
     return _scan_sublane(x, lax.add, jnp.float32(0.0))
 
 
-def _tri_lower(k):
-    """[k, k] lower-triangular ones (diag included) for MXU prefix sums."""
-    r = lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    c = lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    return (r >= c).astype(jnp.float32)
-
-
-def _cumsum_mxu(x, tri):
-    """Inclusive sublane cumsum as ONE triangular matmul.
-
-    (tri @ x)[i, p] = sum_{j<=i} x[j, p]. The MXU is idle during the blend's
-    VPU-bound chunks, so this replaces the ~12-pass vector scan for free
-    (fp reassociation differs; each addend is exact)."""
-    return _dot(tri, x)
-
-
-def _cumprod_mxu(f, tri):
-    """Inclusive sublane cumprod as exp(tri @ log(f)).
-
-    Valid because contributing f = 1 - alpha is bounded to [0.01, 1] by the
-    alpha_max clamp (``render.comp:77``) and masked rows carry exactly
-    f = 1 -> log f = 0, which cannot perturb the sums. Trades the vector
-    scan for one log, one MXU matmul, and one exp; relative error is
-    ~1e-6 per chunk (bounded by f32 eps * |log T|), inside every parity
-    tolerance."""
-    return jnp.exp(_dot(tri, jnp.log(f)))
-
-
 def _pixel_coords(tile_id, tiles_x, tile_w, tile_h, row0):
     """Pixel-center coordinates for this tile: two [1, P] f32 vectors."""
     npx = tile_w * tile_h
@@ -156,13 +128,24 @@ def _pixel_coords(tile_id, tiles_x, tile_w, tile_h, row0):
     return pxf, pyf
 
 
-def _dot(a, b):
-    """f32 MXU matmul (contraction on a's last / b's first dim)."""
+def _dot(a, b, precision=lax.Precision.HIGHEST):
+    """f32 MXU matmul (contraction on a's last / b's first dim).
+
+    HIGHEST (6-pass bf16 decomposition, f32-exact) is the parity default.
+    The blend kernels thread ``RenderConfig.mm_precision`` through: DEFAULT
+    (single bf16 pass, ~0.4% relative input rounding) measures 8% faster
+    fwd and 13% faster bwd at garden scale — a documented production option
+    for training runs where gradient noise swamps it, never for parity."""
     return lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=precision,
     )
+
+
+def _mm_prec(cfg):
+    return (lax.Precision.HIGHEST if cfg.mm_precision == "highest"
+            else lax.Precision.DEFAULT)
 
 
 def _excl_from_incl(cumf):
@@ -202,19 +185,19 @@ def _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg: RenderConfig):
     )
 
 
-def _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg, inner, tri):
+def _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg, inner):
     """One CK-chunk of the forward blend. inner = (T [1,P], c3 [3,P])."""
     t_acc, c3 = inner
     slab_t = jnp.transpose(buf_ref[:, pl.ds(base, CK)], (1, 0))  # [CK, ATTR_W]
     ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
-    cumf = _cumprod_mxu(ch["f"], tri)
+    cumf = _cumprod_sublane(ch["f"])
     t_incl = t_acc * cumf  # [CK, P]
     t_excl = t_acc * _excl_from_incl(cumf)
     contrib = ch["ok"] & (t_incl >= cfg.t_min)
     wgt = jnp.where(contrib, ch["alpha"] * t_excl, 0.0)
     # Color accumulation as one MXU matmul: col3 [3, CK] @ wgt [CK, P].
     col3 = buf_ref[A_CR:A_CB_ + 1, pl.ds(base, CK)]
-    c3 = c3 + _dot(col3, wgt)
+    c3 = c3 + _dot(col3, wgt, _mm_prec(cfg))
     return t_incl[CK - 1:CK, :], c3
 
 
@@ -229,7 +212,6 @@ def _forward_kernel(
     through two rolling slots (the dense-tile case)."""
     base_t = pl.program_id(0) * GROUP
     npx = tile_w * tile_h
-    tri = _tri_lower(CK)
 
     def tile_info(j):
         t = base_t + j
@@ -251,24 +233,17 @@ def _forward_kernel(
         nwin = pl.cdiv(end - a_start, WIN)
 
         def chunks_of(buf_ref, off, carry):
-            nck = jnp.clip(pl.cdiv(end - off, CK), 0, WIN // CK)
-
-            def cond(state):
-                k, inner = state
-                # Chunk-level early exit: T is monotone, so a dead tile
-                # skips the remaining chunks exactly (``render.comp:82-84``).
-                return (k < nck) & (jnp.max(inner[0]) >= cfg.t_min)
-
-            def body(state):
-                k, inner = state
+            # No chunk-level early exit: the per-chunk T reduction + while
+            # loop cost more than they save (measured +2.7 ms at garden);
+            # the window-level exit below already captures saturation.
+            def chunk(k, inner):
                 base = pl.multiple_of(k * CK, CK)
                 lo = start - (off + base)
                 hi = end - (off + base)
-                out = _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg,
-                                   inner, tri)
-                return k + 1, out
+                return _blend_chunk(buf_ref, base, lo, hi, pxf, pyf, cfg, inner)
 
-            return lax.while_loop(cond, body, (jnp.int32(0), carry))[1]
+            nck = jnp.clip(pl.cdiv(end - off, CK), 0, WIN // CK)
+            return lax.fori_loop(0, nck, chunk, carry)
 
         carry = (
             jnp.ones((1, npx), jnp.float32),
@@ -364,7 +339,6 @@ def _backward_kernel(
     base_t = pid * GROUP
     npx = tile_w * tile_h
     nper = WIN // CK  # granules per window
-    tri = _tri_lower(CK)
 
     @pl.when(pid == 0)
     def _():
@@ -445,7 +419,7 @@ def _backward_kernel(
                 hi = end - (off + base)
                 ch = _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg)
                 alpha, f, ok = ch["alpha"], ch["f"], ch["ok"]
-                cumf = _cumprod_mxu(f, tri)
+                cumf = _cumprod_sublane(f)
                 t_incl = t_acc_i * cumf
                 t_excl = t_acc_i * _excl_from_incl(cumf)
                 contrib = ok & (t_incl >= cfg.t_min)
@@ -455,10 +429,9 @@ def _backward_kernel(
                 # S_after_c/f) with S_after_c = fin_c - incl_c collapses to
                 # ONE fused running sum because sum_c dc_c * incl_c =
                 # cumsum(wgt * dccol). dccol is one small MXU matmul instead
-                # of five [CK, P] VPU passes; the running cumsum is a
-                # triangular matmul on the otherwise-idle MXU.
-                dccol = _dot(slab_t[:, A_CR:A_CB_ + 1], dc3)  # [CK, P]
-                incl_dot = sdot_i + _cumsum_mxu(wgt * dccol, tri)
+                # of five [CK, P] VPU passes.
+                dccol = _dot(slab_t[:, A_CR:A_CB_ + 1], dc3, _mm_prec(cfg))  # [CK, P]
+                incl_dot = sdot_i + _cumsum_sublane(wgt * dccol)
                 rf = 1.0 / f
                 dalpha = jnp.where(
                     contrib, dccol * t_excl - (d_fin - incl_dot) * rf, 0.0
@@ -475,7 +448,7 @@ def _backward_kernel(
                 # u'x = uvx - ox (tile-local), so every quadratic-form
                 # reduction is a linear combination of the moments of dpower
                 # against the local pixel basis {1, x, x^2, y, y^2, xy}.
-                m = _dot(dpower, basis)  # [CK, 6]
+                m = _dot(dpower, basis, _mm_prec(cfg))  # [CK, 6]
                 m1, mx, mx2 = m[:, 0:1], m[:, 1:2], m[:, 2:3]
                 my, my2, mxy = m[:, 3:4], m[:, 4:5], m[:, 5:6]
                 ux = ch["uvx"] - ox  # [CK, 1]
@@ -491,7 +464,7 @@ def _backward_kernel(
                 # = m1/op (dpower = da_raw * epow * op) — the moments matmul
                 # already computed the sum; no extra [CK, P] pass needed.
                 g_op = m1 / jnp.maximum(ch["op"], 1e-30)
-                g_col = _dot(wgt, dc3_t)  # [CK, 3]
+                g_col = _dot(wgt, dc3_t, _mm_prec(cfg))  # [CK, 3]
 
                 zeros7 = jnp.zeros((CK, ATTR_W - 9), jnp.float32)
                 g = jnp.concatenate(
