@@ -58,3 +58,35 @@ def test_rotation_rate_matches_reference(tmp_path):
     ang = 2 * np.arccos(np.clip(s.rotation[0], -1, 1))
     np.testing.assert_allclose(ang, 0.005, rtol=1e-6)
     assert s.rotation[2] < 0  # axis (0,-1,0)
+
+
+def test_resize_mid_session(tmp_path):
+    """Mid-session resolution change (swapchain-recreation analogue,
+    src/Renderer.cpp:102-117): the next draw re-jits on the new static
+    shape and matches a session created at that size from scratch."""
+    s = _session(tmp_path)
+    s.initialize()
+    s.position = np.array([0.0, 0.0, 6.0])
+    s.log_translation(np.pi / 0.005, 0.0)
+    img0, _ = s.draw()
+    assert np.asarray(img0).shape == (48, 64, 3)
+
+    s.resize(96, 80)
+    img1, aux1 = s.draw()
+    assert np.asarray(img1).shape == (80, 96, 3)
+    assert np.isfinite(np.asarray(img1)).all()
+
+    # Equivalent to rendering at the new size directly (same camera state).
+    fresh = _session(tmp_path)
+    fresh.initialize()
+    fresh.config = __import__("dataclasses").replace(
+        fresh.config, width=96, height=80)
+    fresh.position = s.position.copy()
+    fresh.rotation = s.rotation.copy()
+    img2, _ = fresh.draw()
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-6)
+
+    # And back: the original-size executable is still cached.
+    s.resize(64, 48)
+    img3, _ = s.draw()
+    np.testing.assert_allclose(np.asarray(img3), np.asarray(img0), atol=1e-6)

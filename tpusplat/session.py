@@ -105,6 +105,22 @@ class Session:
             self.config = dataclasses.replace(self.config, render=grown)
         return img, aux
 
+    def resize(self, width: int, height: int):
+        """Change the render resolution mid-session.
+
+        The analogue of the reference's swapchain recreation on resize
+        (``src/Renderer.cpp:102-117``: recreate swapchain, realloc the
+        tile-boundary buffer for the new grid, re-record, rebuild the
+        render pipeline). Here the image shape is jit-static, so the next
+        ``draw()`` compiles a fresh executable for the new tile grid —
+        same recovery, no explicit resource management. Previous-size
+        executables stay cached, so toggling between sizes is free after
+        the first visit.
+        """
+        self.config = dataclasses.replace(
+            self.config, width=int(width), height=int(height)
+        )
+
     def start(self, on_frame: Callable | None = None, max_frames: int = 0,
               target_fps: float = 0.0):
         """Self-driving loop (Renderer::run analogue, src/Renderer.cpp:428-450)."""
