@@ -63,7 +63,7 @@ def main():
         sh_degree=scale["sh"], capacity_mult=scale["cap"],
         use_pallas=use_pallas, max_per_tile=4096, tile_chunk=64,
         tight_radius=True,
-    )
+    ).with_env_overrides()  # e.g. TPUSPLAT_MM_PRECISION=default fast-math run
     # Settle the static instance capacity from a cheap preprocess probe —
     # the steady state the reference's dynamic sort-buffer growth reaches
     # (src/Renderer.cpp:541-563). render_auto would converge to the same
