@@ -173,15 +173,24 @@ def _chunk_alpha(slab_t, lo, hi, pxf, pyf, cfg: RenderConfig):
     ca = slab_t[:, A_CA:A_CA + 1]
     cb = slab_t[:, A_CB:A_CB + 1]
     cc = slab_t[:, A_CC:A_CC + 1]
-    op = slab_t[:, A_OP:A_OP + 1]
+    # Folding the row-validity mask into opacity (cheap [CK, 1] select)
+    # kills the [CK, P] `& valid` pass: masked rows get alpha == 0, which
+    # fails the alpha_min test on its own. Slab lanes always hold finite
+    # real table rows (clamped gather + zero padding), so the dead rows'
+    # power/epow stay finite.
+    op = jnp.where(valid, slab_t[:, A_OP:A_OP + 1], 0.0)
 
     dx = uvx - pxf  # [CK, P]
     dy = uvy - pyf
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    # Quadratic with pre-scaled [CK, 1] coefficients: one fewer [CK, P] pass
+    # than -0.5 * (ca*dx*dx + cc*dy*dy) - cb*dx*dy.
+    a2 = -0.5 * ca
+    c2 = -0.5 * cc
+    power = a2 * (dx * dx) + c2 * (dy * dy) - cb * (dx * dy)
     epow = jnp.exp(power)
     alpha_raw = op * epow
     alpha = jnp.minimum(jnp.float32(cfg.alpha_max), alpha_raw)
-    ok = valid & (power <= 0.0) & (alpha >= cfg.alpha_min)
+    ok = (power <= 0.0) & (alpha >= cfg.alpha_min)
     f = jnp.where(ok, 1.0 - alpha, 1.0)
     return dict(
         alpha=alpha, alpha_raw=alpha_raw, epow=epow, ok=ok, f=f,
