@@ -112,6 +112,10 @@ def main(argv=None):
     dcfg = DensifyConfig()
     densify_until = args.densify_until or args.steps // 2
     key = jax.random.key(0)
+    # Jitted ONCE outside the loop: constructing jax.jit per call would make
+    # every densify round pay a fresh trace + compile.
+    densify_jit = jax.jit(
+        densify_and_prune, static_argnames=("dcfg", "scene_extent"))
 
     # Exact capacity recovery (the reference's sort-buffer growth + frame
     # retry, src/Renderer.cpp:541-563 with the goto at 383): train_step gates
@@ -164,8 +168,7 @@ def main(argv=None):
                 and step <= densify_until:
             last_densify = step
             key, sub = jax.random.split(key)
-            state = jax.jit(densify_and_prune, static_argnames=("dcfg", "scene_extent"))(
-                state, sub, dcfg, scene_extent)
+            state = densify_jit(state, sub, dcfg, scene_extent)
         if args.opacity_reset_every and step - last_reset >= args.opacity_reset_every \
                 and step <= densify_until:
             last_reset = step

@@ -58,7 +58,10 @@ def main():
 
     import os
     import numpy as np
-    cache = "/tmp/kbench_cache.npz"
+    # Cache keyed on everything that shapes the inputs — a stale cache after
+    # a packing-layout or scene change would silently skew kernel bisection.
+    key = f"{n}-{w}-{h}-{cfg.capacity}-{rp.ATTR_W}-{rp.WIN}-{cfg.tight_radius}"
+    cache = f"/tmp/kbench_cache_{key}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         attr = jnp.asarray(z["attr"]); starts = jnp.asarray(z["starts"]); ends = jnp.asarray(z["ends"])

@@ -146,7 +146,9 @@ def main():
     if backend != "tpu":
         print(json.dumps({"skipped": True, "backend": backend}))
         print("tpu_gate: no TPU backend — nothing certified", file=sys.stderr)
-        return 0
+        # Distinct exit code: a skipped run is NOT a certified pass, and a CI
+        # wrapper checking only the status must be able to tell them apart.
+        return 2
 
     out = {"backend": backend, "device": str(jax.devices()[0].device_kind)}
     print("tpu_gate: Pallas vs XLA @ 100k/800x800 SH3 ...", file=sys.stderr, flush=True)

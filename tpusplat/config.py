@@ -94,6 +94,17 @@ class RenderConfig:
     tight_radius: bool = False
     debug_checks: bool = False
 
+    def __post_init__(self):
+        # A typo like MM_PRECISION=Highest must not silently degrade to the
+        # non-parity bf16 path — unknown values are an error, not a default.
+        if self.mm_precision not in ("highest", "default"):
+            raise ValueError(
+                f"mm_precision must be 'highest' or 'default', got "
+                f"{self.mm_precision!r}"
+            )
+        if self.color_clamp not in ("red", "all", "none"):
+            raise ValueError(f"unknown color_clamp {self.color_clamp!r}")
+
     def instance_capacity(self, num_gaussians: int) -> int:
         cap = self.capacity if self.capacity is not None else int(
             self.capacity_mult * num_gaussians

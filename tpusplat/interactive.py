@@ -97,6 +97,7 @@ def run_interactive(
     cols: int = 96,
     max_frames: int = 0,
     show_image: bool = True,
+    profile_every: int = 8,
 ) -> dict:
     """Drive a Session interactively; returns summary stats.
 
@@ -106,6 +107,10 @@ def run_interactive(
         Default: live keystrokes from the controlling tty.
       out: writable stream for frames/metrics (default stderr).
       max_frames: stop after N rendered frames (0 = until 'q'/keys end).
+      profile_every: every Nth frame renders through the staged path with
+        per-stage fences and refreshes the preprocess/bin+sort/raster ms in
+        the overlay (0 = never). The live-stage-times analogue of the
+        reference's timestamp-query GUI table (src/GUIManager.cpp:45-100).
     """
     out = out if out is not None else sys.stderr
     stopped = False
@@ -115,6 +120,7 @@ def run_interactive(
     session.initialize()
     frames = 0
     ema_ms = None
+    stage_ms = None  # last sampled per-stage breakdown
     t_start = time.time()
     dirty = True
     for key in iter(keys):
@@ -131,7 +137,12 @@ def run_interactive(
         if not dirty:
             continue
         t0 = time.time()
-        img, aux = session.draw()
+        profiled = profile_every and frames % profile_every == 0 and hasattr(
+            session, "draw_profiled")
+        if profiled:
+            img, aux, stage_ms = session.draw_profiled()
+        else:
+            img, aux = session.draw()
         np.asarray(img[0, 0])  # host fence (tunneled block_until_ready no-op)
         dt_ms = (time.time() - t0) * 1e3
         ema_ms = dt_ms if ema_ms is None else 0.8 * ema_ms + 0.2 * dt_ms
@@ -139,9 +150,15 @@ def run_interactive(
         dirty = False
         if show_image:
             out.write("\x1b[H\x1b[2J" + ansi_frame(img, cols) + "\n")
-        # The GUIManager metrics row: stage time, fps, instance count
+        # The GUIManager metrics rows: per-stage times, fps, instance count
         # (src/GUIManager.cpp:45-100 text metrics + plot).
         pos = session.position
+        if stage_ms is not None:
+            out.write(
+                "stages  " + "  ".join(
+                    f"{k} {v:6.1f} ms" for k, v in stage_ms.items()
+                ) + ("  (sampling)" if not profiled else "  (live)") + "\n"
+            )
         out.write(
             f"frame {frames}  {dt_ms:7.1f} ms  ema {ema_ms:7.1f} ms "
             f"({1e3 / max(ema_ms, 1e-6):5.1f} fps)  "

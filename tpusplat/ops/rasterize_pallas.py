@@ -590,15 +590,21 @@ def _backward_kernel(
     wb_wait(lax.rem(wg_f + 1, 2), o1, n1)  # window wg-1 used slot (wg-1)%2
 
     # ---- grid epilogue: flush the final held boundary granule ----
+    # Guarded: when ends[num_tiles-1] is ALIGN-aligned no granule was held
+    # (the last window wrote everything), and an unconditional flush would
+    # store a stale carry over an already-written granule.
     @pl.when(pid == pl.num_programs(0) - 1)
     def _():
         end_last = ends_ref[num_tiles - 1]
-        a_flush = pl.multiple_of((end_last // ALIGN) * ALIGN, ALIGN)
-        cp = pltpu.make_async_copy(
-            carry_buf, dattr_hbm.at[:, pl.ds(a_flush, GR)], gsem.at[0, 0]
-        )
-        cp.start()
-        cp.wait()
+
+        @pl.when(end_last % ALIGN != 0)
+        def _():
+            a_flush = pl.multiple_of((end_last // ALIGN) * ALIGN, ALIGN)
+            cp = pltpu.make_async_copy(
+                carry_buf, dattr_hbm.at[:, pl.ds(a_flush, GR)], gsem.at[0, 0]
+            )
+            cp.start()
+            cp.wait()
 
 
 def _run_forward(attr, starts, ends, row0, *, tiles_x, num_tiles, tile_w, tile_h, cfg):

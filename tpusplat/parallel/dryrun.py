@@ -28,6 +28,7 @@ def run_dryrun(n_devices: int) -> None:
         params_sharding,
         render_sharded,
         sharded_train_step,
+        sharded_train_step_overlap,
     )
     from tpusplat.render import render_stages
     from tpusplat.train.step import create_train_state, make_optimizer
@@ -93,7 +94,24 @@ def run_dryrun(n_devices: int) -> None:
         )
         loss = float(metrics["loss"])
         assert np.isfinite(loss), f"{backend}: dryrun loss not finite: {loss}"
+
+        # 3. The OVERLAP step (halo-exchange strip loss + ppermute ring grad
+        #    reduce — the path the v5e-8 scaling claim rests on) compiles,
+        #    executes, and matches the monolithic step's loss.
+        state2 = create_train_state(params, optimizer)
+        state2 = dataclasses.replace(
+            state2, params=jax.device_put(state2.params, pshard)
+        )
+        state2, metrics2 = sharded_train_step_overlap(
+            state2, cams_sh, targets_sh, cfg, optimizer, mesh
+        )
+        loss_ov = float(metrics2["loss"])
+        assert np.isfinite(loss_ov), f"{backend}: overlap loss not finite"
+        assert abs(loss_ov - loss) <= 1e-4 * max(1.0, abs(loss)), (
+            f"{backend}: overlap step loss {loss_ov} != monolithic {loss}"
+        )
         print(
             f"dryrun_multichip({n_devices}): mesh=({data}x{tile}) "
-            f"backend={backend} loss={loss:.4f} image-equality OK"
+            f"backend={backend} loss={loss:.4f} overlap_loss={loss_ov:.4f} "
+            "image-equality OK"
         )

@@ -60,6 +60,55 @@ def render_stages(params: GaussianParams, camera: Camera, cfg: RenderConfig):
     return img, aux
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_preprocess(params, camera, cfg):
+    return preprocess(params, camera, cfg)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def _stage_binning(pg, width, height, cfg):
+    return bin_and_sort(pg, width, height, cfg)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def _stage_rasterize(pg, binned, width, height, cfg):
+    if cfg.use_pallas:
+        from tpusplat.ops.rasterize_pallas import rasterize_pallas
+
+        return rasterize_pallas(pg, binned, width, height, cfg)
+    return rasterize_xla(pg, binned, width, height, cfg)
+
+
+def render_profiled(params: GaussianParams, camera: Camera, cfg: RenderConfig):
+    """Render one frame as separately-jitted stages with host fences,
+    returning (img, aux, stage_ms).
+
+    The live per-stage timing source for the interactive viewer's metrics
+    overlay — the analogue of the reference's Vulkan timestamp queries
+    (``src/Renderer.cpp:484-699``, displayed by ``src/GUIManager.cpp:45-100``).
+    A TPU has no free in-stream timestamps, so a profiled frame pays one
+    device fence per stage; callers sample it every N frames and render the
+    rest through the fused ``render_stages`` path.
+    """
+    import time
+
+    stage_ms: dict[str, float] = {}
+
+    def timed(name, fn, *args):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        stage_ms[name] = (time.perf_counter() - t0) * 1e3
+        return out
+
+    w, h = camera.width, camera.height
+    pg = timed("preprocess", _stage_preprocess, params, camera, cfg)
+    binned = timed("bin+sort", _stage_binning, pg, w, h, cfg)
+    img, aux = timed("raster", _stage_rasterize, pg, binned, w, h, cfg)
+    aux["visible"] = pg.ntiles > 0
+    aux["radius"] = pg.radius
+    return img, aux, stage_ms
+
+
 def render(params: GaussianParams, camera: Camera, cfg: RenderConfig | None = None):
     """Render one image [H, W, 3] float32 (the ``draw()`` analogue)."""
     if cfg is None:

@@ -105,6 +105,23 @@ class Session:
             self.config = dataclasses.replace(self.config, render=grown)
         return img, aux
 
+    def draw_profiled(self):
+        """Like draw(), but returns (img, aux, stage_ms) with per-stage times.
+
+        The per-stage metrics source for the viewer overlay (the reference
+        shows live preprocess/sort/render ms from Vulkan timestamp queries,
+        ``src/GUIManager.cpp:45-100``). Stage fences make this frame a bit
+        slower than draw(); sample it periodically.
+        """
+        assert self._initialized, "call initialize() first"
+        from tpusplat.render import render_profiled
+
+        cam = make_camera(
+            self.position, self.rotation, self.config.width, self.config.height,
+            fov_deg=self.config.fov, near=self.config.near, far=self.config.far,
+        )
+        return render_profiled(self.params, cam, self.config.render)
+
     def resize(self, width: int, height: int):
         """Change the render resolution mid-session.
 
