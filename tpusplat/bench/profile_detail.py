@@ -141,7 +141,7 @@ def main():
     def segreduce(sorted_):
         gid_sd = sorted_[0]
         grad = jnp.stack(sorted_[1:])
-        n_pad = -(-n // rp.GB) * rp.GB
+        n_pad = -(-n // (rp.GB * rp.SEGG)) * (rp.GB * rp.SEGG)
         qs = jnp.minimum(lax.iota(jnp.int32, n_pad // rp.GB + 1) * rp.GB,
                          jnp.int32(n))
         bounds_ = binning.searchsorted_left(gid_sd, qs)

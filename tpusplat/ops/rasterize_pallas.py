@@ -711,76 +711,136 @@ _RasterStatic = collections.namedtuple(
 )
 
 
-GB = 256  # gaussian ids per segment-reduce program
+GB = 256  # gaussian ids per segment-reduce segment
 GROWS = 9  # live gradient rows (uvx, uvy, ca, cb, cc, op, r, g, b)
 GPAD = 16  # slab rows: GROWS padded to the f32 (8, 128) sublane tiling
+SEGG = 8  # segments per segment-reduce program (head-prefetch group)
 
 
 def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
-                           gbuf, ibuf, gsem, isem, *, n_real):
+                           head_g, head_i, roll_g, roll_i,
+                           hgsem, hisem, rgsem, risem, *, n_real):
     """Sum gid-sorted gradient rows per Gaussian — without a single scatter.
 
-    Program p owns Gaussian ids [p*GB, (p+1)*GB); their rows form one
-    contiguous range of the gid-sorted gradient slab (bounds = searchsorted
-    of the sorted ids at GB multiples). Each WIN-window of rows is reduced
-    onto the program's [GROWS, GB] accumulator by one MXU matmul against a
-    0/1 selection matrix built from the per-row gaussian ids — the TPU
-    answer to CUDA's atomicAdd gradient accumulation (SURVEY.md §7 hard
-    part 2). Sentinel ids (== N, from capacity padding) exceed every
-    program's targets and are ignored for free.
+    Each program owns SEGG segments of GB Gaussian ids; segment s covers
+    ids [s*GB, (s+1)*GB), whose rows form one contiguous range of the
+    gid-sorted gradient slab (bounds = searchsorted of the sorted ids at GB
+    multiples). Each WIN-window of rows is reduced onto the segment's
+    [GROWS, GB] accumulator by one MXU matmul against a 0/1 selection
+    matrix built from the per-row gaussian ids — the TPU answer to CUDA's
+    atomicAdd gradient accumulation (SURVEY.md §7 hard part 2). Sentinel
+    ids (== N, from capacity padding) exceed every segment's targets and
+    are zeroed by the in-range mask.
+
+    DMA pipeline (segments average ~1.3 windows at garden scale, so the
+    previous one-segment-per-program start/wait sequence was latency-bound):
+    every segment's first window is issued up front, and multi-window
+    segments double-buffer through two rolling slots — the same scheme as
+    the forward blend kernel.
     """
     p = pl.program_id(0)
-    g0 = p * GB
-    lo = bounds_ref[p]
-    hi = bounds_ref[p + 1]
-    a_lo = (lo // ALIGN) * ALIGN
-    nwin = pl.cdiv(hi - a_lo, WIN)
 
-    targets = g0 + lax.broadcasted_iota(jnp.int32, (1, GB), 1)  # [1, GB]
+    def info(j):
+        s = p * SEGG + j
+        lo = bounds_ref[s]
+        hi = bounds_ref[s + 1]
+        a_lo = (lo // ALIGN) * ALIGN
+        return s, hi, a_lo
 
-    def window(w, acc):
-        off = a_lo + w * WIN
-        dcp = pltpu.make_async_copy(grad_hbm.at[:, pl.ds(off, WIN)], gbuf, gsem)
-        dcp.start()
-        ocp = pltpu.make_async_copy(gid_hbm.at[:, pl.ds(off, WIN)], ibuf, isem)
-        ocp.start()
-        ocp.wait()
-        dcp.wait()
-        gid_t = jnp.transpose(ibuf[0:1, :], (1, 0))  # [WIN, 1]
-        sel = (gid_t == targets).astype(jnp.float32)  # [WIN, GB]
-        # Rows outside this program's id range — including sentinel ids
-        # (== n_real, capacity padding), whose values are stale memory the
-        # backward kernel never wrote — must be zeroed with a select: sel is
-        # 0 there, but 0 * NaN = NaN in the matmul sum.
+    def issue(g_dst, i_dst, g_sem, i_sem, off):
+        pltpu.make_async_copy(
+            grad_hbm.at[:, pl.ds(off, WIN)], g_dst, g_sem).start()
+        pltpu.make_async_copy(
+            gid_hbm.at[:, pl.ds(off, WIN)], i_dst, i_sem).start()
+
+    def wait(g_dst, i_dst, g_sem, i_sem, off):
+        pltpu.make_async_copy(
+            grad_hbm.at[:, pl.ds(off, WIN)], g_dst, g_sem).wait()
+        pltpu.make_async_copy(
+            gid_hbm.at[:, pl.ds(off, WIN)], i_dst, i_sem).wait()
+
+    # Issue every segment's first window (cross-segment latency overlap).
+    for j in range(SEGG):
+        _, _, a = info(j)
+        issue(head_g.at[j], head_i.at[j], hgsem.at[j], hisem.at[j], a)
+
+    for j in range(SEGG):
+        s, hi, a_lo = info(j)
+        g0 = s * GB
+        nwin = pl.cdiv(hi - a_lo, WIN)
+        targets = g0 + lax.broadcasted_iota(jnp.int32, (1, GB), 1)  # [1, GB]
         hi_id = jnp.minimum(g0 + GB, n_real)
-        in_range = (ibuf[0:1, :] >= g0) & (ibuf[0:1, :] < hi_id)
-        gbuf_m = jnp.where(in_range, gbuf[:, :], 0.0)
-        return acc + _dot(gbuf_m, sel)  # [GPAD, GB]
 
-    acc = lax.fori_loop(0, nwin, window, jnp.zeros((GPAD, GB), jnp.float32))
-    out_ref[:, :] = acc
+        def reduce_window(gb, ib, acc):
+            gid_t = jnp.transpose(ib[0:1, :], (1, 0))  # [WIN, 1]
+            sel = (gid_t == targets).astype(jnp.float32)  # [WIN, GB]
+            # Rows outside this segment's id range — including sentinel ids
+            # (== n_real, capacity padding), whose values are stale memory
+            # the backward kernel never wrote — must be zeroed with a
+            # select: sel is 0 there, but 0 * NaN = NaN in the matmul sum.
+            in_range = (ib[0:1, :] >= g0) & (ib[0:1, :] < hi_id)
+            gm = jnp.where(in_range, gb[:, :], 0.0)
+            return acc + _dot(gm, sel)  # [GPAD, GB]
+
+        # Window 0 from the prefetched head slot (issued for every segment;
+        # empty/aligned-empty segments reduce a garbage window whose rows
+        # are all masked by in_range).
+        wait(head_g.at[j], head_i.at[j], hgsem.at[j], hisem.at[j], a_lo)
+
+        @pl.when(nwin >= 2)
+        def _():
+            issue(roll_g.at[0], roll_i.at[0], rgsem.at[0], risem.at[0],
+                  a_lo + WIN)
+
+        acc = reduce_window(head_g[j], head_i[j],
+                            jnp.zeros((GPAD, GB), jnp.float32))
+
+        def wbody(state):
+            w, acc = state
+            slot = lax.rem(w - 1, 2)
+            off = a_lo + w * WIN
+            wait(roll_g.at[slot], roll_i.at[slot],
+                 rgsem.at[slot], risem.at[slot], off)
+
+            @pl.when(w + 1 < nwin)
+            def _():
+                nxt = lax.rem(w, 2)
+                issue(roll_g.at[nxt], roll_i.at[nxt],
+                      rgsem.at[nxt], risem.at[nxt], off + WIN)
+
+            return w + 1, reduce_window(roll_g[slot], roll_i[slot], acc)
+
+        _, acc = lax.while_loop(
+            lambda st: st[0] < nwin, wbody, (jnp.int32(1), acc)
+        )
+        out_ref[:, j * GB:(j + 1) * GB] = acc
 
 
 def _run_segment_reduce(grad, gid, bounds, n_pad, n_real):
     """grad [GPAD, C + WIN] (gid-sorted rows, 9 live + pad), gid
     [1, C + WIN] int32, bounds [n_pad//GB + 1] int32 -> per-Gaussian sums
-    [GPAD, n_pad]. Sublane dims are GPAD (not GROWS): DMA slices must
-    respect the f32 (8, 128) tiling on real hardware."""
+    [GPAD, n_pad] (n_pad a multiple of GB*SEGG). Sublane dims are GPAD (not
+    GROWS): DMA slices must respect the f32 (8, 128) tiling on real
+    hardware."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_pad // GB,),
+        grid=(n_pad // (GB * SEGG),),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (GPAD, GB), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+            (GPAD, GB * SEGG), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((GPAD, WIN), jnp.float32),
-            pltpu.VMEM((1, WIN), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((SEGG, GPAD, WIN), jnp.float32),
+            pltpu.VMEM((SEGG, 1, WIN), jnp.int32),
+            pltpu.VMEM((2, GPAD, WIN), jnp.float32),
+            pltpu.VMEM((2, 1, WIN), jnp.int32),
+            pltpu.SemaphoreType.DMA((SEGG,)),
+            pltpu.SemaphoreType.DMA((SEGG,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -831,7 +891,7 @@ def _pack_gather_bwd(res, d_attr):
     gid_s = sorted_[0]
     grad = jnp.stack(sorted_[1:])  # [GROWS, C]
 
-    n_pad = -(-n // GB) * GB
+    n_pad = -(-n // (GB * SEGG)) * (GB * SEGG)
     qs = jnp.minimum(lax.iota(jnp.int32, n_pad // GB + 1) * GB, jnp.int32(n))
     bounds = searchsorted_left(gid_s, qs)
 
