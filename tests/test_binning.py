@@ -99,3 +99,24 @@ def test_row_window_partitions_instances():
         strip = bin_and_sort(pg, 64, 64, cfg, row0=r0, nrows=2)
         got += int(strip.num_instances)
     assert got == int(full.num_instances)
+
+
+def test_searchsorted_left_big_matches():
+    from tpusplat.ops.binning import _SUB, searchsorted_left_big
+
+    rng = np.random.default_rng(5)
+    n = 8 * _SUB
+    a = np.sort(rng.integers(0, 500, n)).astype(np.int32)
+    v = rng.integers(-3, 503, 700).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(searchsorted_left_big)(jnp.asarray(a), jnp.asarray(v))),
+        np.searchsorted(a, v, side="left"),
+    )
+    # sentinel-heavy tail like the sorted tile array
+    a2 = np.concatenate([np.sort(rng.integers(0, 100, n // 2)),
+                         np.full(n // 2, 2**31 - 1)]).astype(np.int32)
+    v2 = np.arange(0, 102).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(searchsorted_left_big)(jnp.asarray(a2), jnp.asarray(v2))),
+        np.searchsorted(a2, v2, side="left"),
+    )

@@ -91,10 +91,15 @@ def main():
 
     res["depth_argsort_N"], dorder = timeit(jax.jit(depth_sort), pg)
 
-    expand = jax.jit(partial(binning.expand_instances, tiles_x=tiles_x,
+    from tpusplat.ops.emission import expand_instances_pallas
+
+    expand = jax.jit(partial(expand_instances_pallas, tiles_x=tiles_x,
                              capacity=capacity, row0=0, nrows=tiles_y))
     res["expand_instances"], (tile, gid, total, ovf) = timeit(
         expand, pg, depth_order=dorder)
+    expand_x = jax.jit(partial(binning.expand_instances, tiles_x=tiles_x,
+                               capacity=capacity, row0=0, nrows=tiles_y))
+    res["expand_xla_ref"], _ = timeit(expand_x, pg, depth_order=dorder)
 
     def big_sort(tile, gid):
         return lax.sort((tile, gid), num_keys=1, is_stable=True)

@@ -188,6 +188,30 @@ def expand_instances(
     return tile, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow
 
 
+_SUB = 512  # subsample stride for the two-level boundary search
+
+
+def searchsorted_left_big(a: jax.Array, v: jax.Array) -> jax.Array:
+    """side='left' search over a LARGE sorted array via two levels.
+
+    Level 1 binary-searches the ``a[::_SUB]`` subsample (log2(n/_SUB)
+    rounds instead of log2(n) — searchsorted cost on TPU is per-round
+    dispatch, not elements); level 2 resolves the exact position with one
+    vectorized compare-and-count over each query's _SUB-wide block. Exact
+    for integer-valued sorted ``a``/queries (uses the a <= v-1 identity)
+    with len(a) a multiple of _SUB.
+    """
+    n = a.shape[0]
+    assert n % _SUB == 0, "pad the search array to a _SUB multiple"
+    blocks = a.reshape(n // _SUB, _SUB)
+    sub = blocks[:, 0]
+    # Block of the answer: last block whose first element is < v.
+    b = jnp.maximum(searchsorted_right(sub, v - 1), 1) - 1
+    win = blocks[b]  # [Q, _SUB] row gather
+    cnt = jnp.sum(win < v[:, None], axis=-1).astype(jnp.int32)
+    return b * _SUB + cnt
+
+
 def bin_and_sort(
     pg: ProcessedGaussians,
     width: int,
@@ -234,9 +258,13 @@ def bin_and_sort(
     # Tile ranges from the sorted tile ids (K7 analogue): T+1 binary searches
     # over the sorted ids; end[t] == start[t+1], so one search array serves
     # both (empty tiles get start == end, the reference's convention at
-    # ``tile_boundary.comp:22-50``).
+    # ``tile_boundary.comp:22-50``). Two-level search: capacity is always a
+    # _SUB multiple (instance_capacity rounds to 1024).
     tile_range = lax.iota(jnp.int32, num_tiles + 1)
-    bounds = searchsorted_left(tile_s, tile_range)
+    if capacity % _SUB == 0:
+        bounds = searchsorted_left_big(tile_s, tile_range)
+    else:
+        bounds = searchsorted_left(tile_s, tile_range)
 
     return BinnedInstances(
         gauss_id=gid_s,

@@ -67,7 +67,10 @@ CK = 256  # instances per compute chunk (sublane dim after transpose);
 GR = 128  # gradient write granule (boundary-handoff unit, == ALIGN)
 ATTR_W = 16  # packed attribute rows (9 used + 7 pad)
 ALIGN = 128  # lane alignment for DMA offsets
-GROUP = 4  # tiles per kernel program (amortizes per-program DMA latency)
+GROUP = 8  # tiles per FORWARD kernel program and the tile-table padding
+# unit (amortizes per-program DMA latency; 8 measured ~3% faster fwd)
+GROUP_B = 4  # tiles per BACKWARD program (8 loses ~9% there: the gradient
+# writeback ping-pong stalls with more tiles in flight per program)
 # attribute row layout
 A_UVX, A_UVY, A_CA, A_CB, A_CC, A_OP, A_CR, A_CG, A_CB_ = range(9)
 
@@ -349,7 +352,7 @@ def _backward_kernel(
     ``wg+2`` reuses it.
     """
     pid = pl.program_id(0)
-    base_t = pid * GROUP
+    base_t = pid * GROUP_B
     npx = tile_w * tile_h
     nper = WIN // GR  # write granules per window
 
@@ -358,7 +361,7 @@ def _backward_kernel(
         carry_buf[:, :] = jnp.zeros((ATTR_W, GR), jnp.float32)
 
     # Issue every tile's first attribute window up front (cross-tile overlap).
-    for j in range(GROUP):
+    for j in range(GROUP_B):
         start_j = starts_ref[base_t + j]
         a0 = (start_j // ALIGN) * ALIGN
         pltpu.make_async_copy(
@@ -380,7 +383,7 @@ def _backward_kernel(
     # the previous two windows, threaded across tiles within the program.
     wb0 = (jnp.int32(0),) * 5
 
-    for j in range(GROUP):
+    for j in range(GROUP_B):
         t = base_t + j
         start = starts_ref[t]
         end = ends_ref[t]
@@ -647,26 +650,26 @@ def _run_backward(attr, starts, ends, row0, cot, fin, *, tiles_x, num_tiles,
         tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h, cfg=cfg,
         num_tiles=num_tiles,
     )
-    t_pad = -(-num_tiles // GROUP) * GROUP
+    t_pad = -(-num_tiles // GROUP) * GROUP  # padding unit stays GROUP (lcm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t_pad // GROUP,),
+        grid=(t_pad // GROUP_B,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (GROUP, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (GROUP_B, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (GROUP, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (GROUP_B, 8, npx), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((GROUP, ATTR_W, WIN), jnp.float32),  # head attr windows
+            pltpu.VMEM((GROUP_B, ATTR_W, WIN), jnp.float32),  # head attr windows
             pltpu.VMEM((2, ATTR_W, WIN), jnp.float32),  # rolling attr windows
             pltpu.VMEM((2, ATTR_W, WIN), jnp.float32),  # grad staging ping-pong
             pltpu.VMEM((ATTR_W, GR), jnp.float32),  # boundary-granule carry
-            pltpu.SemaphoreType.DMA((GROUP,)),
+            pltpu.SemaphoreType.DMA((GROUP_B,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, WIN // GR)),
         ],
@@ -881,7 +884,7 @@ def _pack_gather_bwd(res, d_attr):
     instance order; the sum is exact per addend and differs only by fp
     reassociation.
     """
-    from tpusplat.ops.binning import searchsorted_left
+    from tpusplat.ops.binning import _SUB, searchsorted_left, searchsorted_left_big
 
     n, gauss_id = res
     c = gauss_id.shape[0]
@@ -893,7 +896,8 @@ def _pack_gather_bwd(res, d_attr):
 
     n_pad = -(-n // (GB * SEGG)) * (GB * SEGG)
     qs = jnp.minimum(lax.iota(jnp.int32, n_pad // GB + 1) * GB, jnp.int32(n))
-    bounds = searchsorted_left(gid_s, qs)
+    search = searchsorted_left_big if c % _SUB == 0 else searchsorted_left
+    bounds = search(gid_s, qs)
 
     grad = jnp.pad(grad, ((0, GPAD - GROWS), (0, WIN)))
     gid2d = jnp.pad(gid_s[None, :], ((0, 0), (0, WIN)), constant_values=-1)
