@@ -71,17 +71,13 @@ def main(argv=None):
     # --- data ---
     cams, targets = [], []
     if args.data:
-        import glob
+        from tpusplat.io.dataset import is_nerf_synthetic, load_nerf_synthetic, load_views
 
-        for f in sorted(glob.glob(os.path.join(args.data, "*.npz"))):
-            d = np.load(f)
-            from tpusplat.types import Camera
-
-            cams.append(Camera.from_matrices(
-                d["view"], d["proj"], d["cam_pos"], float(d["tan_fovx"]),
-                float(d["tan_fovy"]), int(d["width"]), int(d["height"]),
-            ))
-            targets.append(jnp.asarray(d["image"], jnp.float32))
+        if is_nerf_synthetic(args.data):
+            cams, imgs = load_nerf_synthetic(args.data)
+        else:
+            cams, imgs = load_views(args.data)
+        targets = [jnp.asarray(im, jnp.float32) for im in imgs]
         w, h = cams[0].width, cams[0].height
         scene_extent = float(np.std([np.asarray(c.cam_pos) for c in cams])) * 2 + 1.0
     else:

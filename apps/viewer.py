@@ -26,33 +26,9 @@ import time
 
 
 def save_png(path, img):
-    import numpy as np
+    from tpusplat.io.dataset import save_png as _save
 
-    arr = np.round(np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
-    try:
-        from PIL import Image
-
-        Image.fromarray(arr).save(path)
-        return
-    except ImportError:
-        pass
-    # Minimal PNG writer (no deps): zlib + struct.
-    import struct
-    import zlib
-
-    h, w, _ = arr.shape
-    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
-
-    def chunk(tag, data):
-        c = struct.pack(">I", len(data)) + tag + data
-        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-
-    png = b"\x89PNG\r\n\x1a\n"
-    png += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-    png += chunk(b"IDAT", zlib.compress(raw, 6))
-    png += chunk(b"IEND", b"")
-    with open(path, "wb") as f:
-        f.write(png)
+    _save(path, img)
 
 
 def main(argv=None):

@@ -129,6 +129,53 @@ def main():
     baseline = 62.2  # 30 fps-equivalent at 1080p (driver target)
     mode = "fwd" if fwd_only else "fwd+bwd"
     log(f"{mode}: {dt * 1e3:.1f} ms/frame -> {mpix:.1f} Mpix/s")
+
+    # Production-mode line (bf16 single-pass matmuls — the configuration a
+    # training run would use; its measured image/grad error bound is
+    # recorded by the TPU gate's mm_precision=default block). Reported as
+    # an EXTRA labelled line; the headline (last line, parsed by the
+    # driver) stays the parity-precision number the north-star metric's
+    # allclose requirement refers to.
+    if (conf == "garden" and not fwd_only and cfg.mm_precision == "highest"
+            and os.environ.get("BENCH_PRODUCTION", "1") != "0"):
+        cfg_prod = dataclasses.replace(cfg, mm_precision="default")
+
+        def loss_prod(tr):
+            img, aux = render_stages(merge_trainable(tr, alive), cam, cfg_prod)
+            return jnp.mean((img - target) ** 2), aux
+
+        @jax.jit
+        def step_prod(tr):
+            (l, aux), g = jax.value_and_grad(loss_prod, has_aux=True)(tr)
+            return (jnp.sum(g["means"]), aux["num_instances"],
+                    aux["capacity_overflow"])
+
+        t0 = time.time()
+        _ = float(step_prod(trainable)[0])
+        log(f"production compile+first run: {time.time() - t0:.1f}s")
+
+        def run_prod(k):
+            t0 = time.time()
+            o = None
+            for _ in range(k):
+                o = step_prod(trainable)
+            _ = float(o[0])
+            return time.time() - t0
+
+        tp1 = run_prod(max(1, iters // 4))
+        tp2 = run_prod(iters + max(1, iters // 4))
+        dtp = (tp2 - tp1) / iters
+        mpix_p = w * h / 1e6 / dtp
+        log(f"production (mm=default): {dtp * 1e3:.1f} ms/frame -> "
+            f"{mpix_p:.1f} Mpix/s")
+        print(json.dumps({
+            "metric": f"PRODUCTION fwd+bwd Mpix/s/chip (garden, "
+                      f"mm_precision=default): {n} gaussians @ {w}x{h}",
+            "value": round(mpix_p, 2),
+            "unit": "Mpix/s",
+            "vs_baseline": round(mpix_p / baseline, 3),
+        }))
+
     print(json.dumps({
         "metric": f"{mode} Mpix/s/chip ({conf}: {n} gaussians @ {w}x{h})",
         "value": round(mpix, 2),

@@ -1,0 +1,170 @@
+"""Real multi-PROCESS execution of the sharded training step.
+
+Launches 2 OS processes, each with 4 virtual CPU devices, that join one
+jax.distributed cluster through ``parallel.mesh.multihost_initialize`` (the
+BASELINE config-5 bring-up path) and run ``sharded_train_step`` over the
+resulting 8-device (2x4) global mesh. Process 0 asserts the distributed
+loss matches a single-process reference — so the multi-host code path is
+EXECUTED, not merely defined. Uses the gloo/CPU backend; on a pod the same
+calls ride ICI (parallel/mesh.py docstring).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+_WORKER = textwrap.dedent("""
+    import json, os, sys
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    coord = sys.argv[1]
+    pid = int(sys.argv[2])
+
+    from tpusplat.parallel.mesh import make_render_mesh, multihost_initialize
+
+    multihost_initialize(
+        coordinator_address=coord,
+        num_processes=2,
+        process_id=pid,
+        cluster_detection_method="deactivate",
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.parallel.sharded import params_sharding, sharded_train_step
+    from tpusplat.train.step import create_train_state, make_optimizer
+    from tpusplat.types import stack_cameras
+
+    mesh = make_render_mesh(data=2, tile=4)
+    n_gauss, width, height, batch = 512, 64, 64, 2
+    params = random_scene(n_gauss, seed=0, sh_degree=1, scale_range=(0.1, 0.5))
+    cfg = RenderConfig(sh_degree=1, max_per_tile=2048, tile_chunk=4,
+                       gauss_chunk=16, capacity_mult=16)
+    cams = stack_cameras([
+        look_at_camera([np.sin(i), 0.3, 5.0], [0, 0, 0], width, height,
+                       fov_deg=60.0)
+        for i in range(batch)
+    ])
+    rng = np.random.default_rng(0)
+    targets = jnp.asarray(rng.uniform(0, 1, (batch, height, width, 3)),
+                          jnp.float32)
+
+    # Globally-sharded inputs: every process passes the same global value.
+    def put(x, spec):
+        return jax.make_array_from_callback(
+            x.shape, NamedSharding(mesh, spec),
+            lambda idx: np.asarray(x)[idx])
+
+    pshard = params_sharding(mesh)
+    params_g = jax.tree_util.tree_map(
+        lambda x, s: put(x, s.spec), params, pshard)
+    cams_g = jax.tree_util.tree_map(
+        lambda x: put(x, P("data", *([None] * (x.ndim - 1)))),
+        (cams.view, cams.proj, cams.cam_pos, cams.tan_fovx, cams.tan_fovy))
+    from tpusplat.types import Camera
+    cams_sh = Camera(view=cams_g[0], proj=cams_g[1], cam_pos=cams_g[2],
+                     tan_fovx=cams_g[3], tan_fovy=cams_g[4],
+                     width=width, height=height)
+    targets_sh = put(targets, P("data", None, None, None))
+
+    optimizer = make_optimizer()
+    state = create_train_state(params_g, optimizer)
+    state, metrics = sharded_train_step(
+        state, cams_sh, targets_sh, cfg, optimizer, mesh)
+    # Reduce to replicated scalars before fetching: the raw outputs span
+    # devices this process cannot address.
+    loss = float(jax.device_get(jax.jit(jnp.mean)(metrics["loss"])))
+    ovf = int(jax.device_get(jax.jit(jnp.sum)(metrics["capacity_overflow"])))
+    if pid == 0:
+        print(json.dumps({"loss": loss, "overflow": ovf,
+                          "processes": jax.process_count()}))
+""")
+
+
+def test_two_process_gloo_sharded_step(tmp_path):
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    coord = f"127.0.0.1:{port.getsockname()[1]}"
+    port.close()
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{se[-3000:]}"
+
+    result = json.loads(outs[0][0].strip().splitlines()[-1])
+    assert result["processes"] == 2
+    assert result["overflow"] == 0
+    assert np.isfinite(result["loss"])
+
+    # Single-process (8 virtual devices, same mesh shape) reference.
+    import dataclasses  # noqa: F401
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.parallel.mesh import make_render_mesh
+    from tpusplat.parallel.sharded import params_sharding, sharded_train_step
+    from tpusplat.train.step import create_train_state, make_optimizer
+    from tpusplat.types import stack_cameras
+
+    mesh = make_render_mesh(data=2, tile=4)
+    params = random_scene(512, seed=0, sh_degree=1, scale_range=(0.1, 0.5))
+    cfg = RenderConfig(sh_degree=1, max_per_tile=2048, tile_chunk=4,
+                       gauss_chunk=16, capacity_mult=16)
+    cams = stack_cameras([
+        look_at_camera([np.sin(i), 0.3, 5.0], [0, 0, 0], 64, 64, fov_deg=60.0)
+        for i in range(2)
+    ])
+    rng = np.random.default_rng(0)
+    targets = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    params_sh = jax.device_put(params, params_sharding(mesh))
+    cams_sh = jax.device_put(cams, NamedSharding(mesh, P("data")))
+    targets_sh = jax.device_put(
+        targets, NamedSharding(mesh, P("data", None, None, None)))
+    optimizer = make_optimizer()
+    state = create_train_state(params_sh, optimizer)
+    _, metrics = sharded_train_step(
+        state, cams_sh, targets_sh, cfg, optimizer, mesh)
+    ref_loss = float(metrics["loss"])
+
+    assert abs(result["loss"] - ref_loss) <= 1e-5 * max(1.0, abs(ref_loss)), (
+        f"2-process loss {result['loss']} != single-process {ref_loss}"
+    )

@@ -61,7 +61,10 @@ def load_nerf_synthetic(directory, split: str = "train", white_background: bool 
     -z forward), matching our pre-flip camera frame, so the view matrix is
     its inverse.
     """
-    with open(os.path.join(directory, f"transforms_{split}.json")) as f:
+    path = os.path.join(directory, f"transforms_{split}.json")
+    if not os.path.exists(path):
+        path = os.path.join(directory, "transforms.json")
+    with open(path) as f:
         meta = json.load(f)
     cam_angle_x = float(meta["camera_angle_x"])
 
@@ -86,6 +89,34 @@ def load_nerf_synthetic(directory, split: str = "train", white_background: bool 
         )
         images.append(img.astype(np.float32))
     return cams, images
+
+
+def save_png(path, img) -> None:
+    """Write [H, W, 3] floats in [0,1] as an 8-bit RGB PNG (no deps)."""
+    import struct
+    import zlib
+
+    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag, body):
+        out = struct.pack(">I", len(body)) + tag + body
+        return out + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    png = b"\x89PNG\r\n\x1a\n"
+    png += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    png += chunk(b"IDAT", zlib.compress(raw, 6))
+    png += chunk(b"IEND", b"")
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def is_nerf_synthetic(directory) -> bool:
+    return any(
+        os.path.exists(os.path.join(directory, f"transforms{s}.json"))
+        for s in ("_train", "")
+    )
 
 
 def _read_png(path):
