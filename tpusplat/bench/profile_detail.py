@@ -108,7 +108,7 @@ def main():
 
     def bounds(tile_s):
         rng = lax.iota(jnp.int32, num_tiles + 1)
-        b = binning.searchsorted_left(tile_s, rng)
+        b = binning.searchsorted_left_big(tile_s, rng)
         return b[:num_tiles], b[1:]
 
     res["tile_boundaries"], (starts, ends) = timeit(jax.jit(bounds), tile_s)

@@ -1,0 +1,180 @@
+"""Strip-mode hardware measurements: the per-chip inputs of the v5e-8
+projection in docs/SCALING.md.
+
+An 8-way tile-sharded frame (parallel/sharded.py) does, per chip:
+
+  1. preprocess its N/8 Gaussian shard,
+  2. all-gather the compact screen-space attributes over ICI,
+  3. bin + sort + blend (fwd+bwd) ONLY its strip of tile rows at ~C/8
+     instance capacity,
+  4. psum-scatter the attribute gradients back (transpose of 2).
+
+Steps 1 and 3 are pure single-chip work at shard scale — this bench
+measures them on the real chip for every strip (row0 = 0..7, one compiled
+executable with traced row0, exactly the multi-chip code path). Step 2/4
+byte volumes are computed exactly; only the ICI bandwidth is a datasheet
+number, and the projection reports a sensitivity range for it.
+
+Run: python -m tpusplat.bench.strip_bench [n_shards]
+Prints a JSON object with every measured input + the projection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+from functools import partial
+
+
+def _force(out):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = jax.device_get(leaf.ravel()[0])
+
+
+def timeit(fn, *args, iters=6):
+    out = fn(*args)
+    _force(out)
+
+    def run(k):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(k):
+            o = fn(*args)
+        _force(o)
+        return time.perf_counter() - t0
+
+    t1 = run(max(1, iters // 2))
+    t2 = run(max(1, iters // 2) + iters)
+    return (t2 - t1) / iters * 1e3, out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.ops.binning import bin_and_sort
+    from tpusplat.ops.preprocess import preprocess
+    from tpusplat.ops.rasterize_pallas import rasterize_pallas
+    from tpusplat.train.step import merge_trainable, split_trainable
+
+    shards = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n, w, h = 1_400_000, 1920, 1080
+    params = random_scene(n, seed=0, sh_degree=3, scale_range=(0.002, 0.02),
+                          extent=4.0)
+    cam = look_at_camera([0.0, 0.5, 9.0], [0.0, 0.0, 0.0], w, h, fov_deg=60.0)
+    cfg = RenderConfig(sh_degree=3, use_pallas=True, max_per_tile=4096,
+                       tight_radius=True)
+    tiles_x, tiles_y = cfg.tile_grid(w, h)
+    nrows = -(-tiles_y // shards)
+
+    res: dict = {"n": n, "w": w, "h": h, "shards": shards, "nrows": nrows}
+
+    # --- 1. per-shard preprocess (N/8 Gaussians) ---
+    params_shard = jax.tree_util.tree_map(
+        lambda x: x[: n // shards] if hasattr(x, "shape") and x.shape
+        and x.shape[0] == n else x, params)
+    pre_sh = jax.jit(partial(preprocess, cfg=cfg))
+    res["t_preprocess_shard_ms"], _ = timeit(pre_sh, params_shard, cam)
+
+    # Full preprocess once (every shard sees all Gaussians post-gather).
+    pg = jax.jit(partial(preprocess, cfg=cfg))(params, cam)
+    needed = int(jnp.sum(pg.ntiles))
+    res["instances_total"] = needed
+
+    # Strip capacity: worst strip + 10% (measured below); start from an
+    # even split + 30% imbalance allowance, grow if any strip overflows.
+    cap_strip = max(1024, -(-int(needed / shards * 1.35) // 1024) * 1024)
+
+    # --- 2. strip bin+sort+raster fwd+bwd, one executable, traced row0 ---
+    trainable, alive = split_trainable(params)
+
+    def strip_loss(tr, row0):
+        p = merge_trainable(tr, alive)
+        pg = preprocess(p, cam, cfg)
+        binned = bin_and_sort(pg, w, h, cfg, row0, nrows, cap_strip)
+        img, aux = rasterize_pallas(pg, binned, w, h, cfg, row0, nrows)
+        return jnp.sum(img * img), (aux["num_instances"],
+                                    aux["capacity_overflow"])
+
+    grad_strip = jax.jit(jax.grad(strip_loss, has_aux=True))
+
+    strip_ms, strip_inst = [], []
+    for s in range(shards):
+        row0 = jnp.asarray(s * nrows, jnp.int32)
+        t, (_, (inst, ovf)) = timeit(grad_strip, trainable, row0)
+        assert int(ovf) == 0, f"strip {s} overflow {int(ovf)} (cap {cap_strip})"
+        strip_ms.append(round(t, 2))
+        strip_inst.append(int(inst))
+    res["cap_strip"] = cap_strip
+    res["strip_fwd_bwd_ms"] = strip_ms
+    res["strip_instances"] = strip_inst
+    res["strip_ms_max"] = max(strip_ms)
+    res["strip_ms_mean"] = round(sum(strip_ms) / len(strip_ms), 2)
+
+    # NOTE: this full-pipeline-per-strip measurement INCLUDES the full-N
+    # preprocess + depth argsort + emission prep each strip would NOT
+    # repeat... they would: each chip preprocesses N/8 then all-gathers,
+    # but argsort/cumsum/meta run at full N on every chip. Only the
+    # preprocess portion is replaced by the shard-sized one; correct for
+    # the difference.
+    t_pre_full, _ = timeit(jax.jit(partial(preprocess, cfg=cfg)), params, cam)
+    res["t_preprocess_full_ms"] = round(t_pre_full, 2)
+
+    # --- 3. exact communication volumes ---
+    # all-gather of compact attrs: ProcessedGaussians = uv2 conic3 op1
+    # color3 depth1 aabb4 ntiles1 radius1 = 16 f32/Gaussian.
+    ag_bytes = n * 16 * 4 * (shards - 1) // shards
+    res["allgather_mbytes"] = round(ag_bytes / 1e6, 1)
+    # backward transpose: psum-scatter of d(compact attrs), 9 live rows
+    # (uv, conic, opacity, color) — aabb/ntiles/radius are integer-like.
+    rs_bytes = n * 9 * 4 * (shards - 1) // shards
+    res["reduce_scatter_mbytes"] = round(rs_bytes / 1e6, 1)
+
+    # --- 3b. single-chip full-frame reference (efficiency denominator) ---
+    cap_full = max(1024, -(-int(needed * 1.05) // 1024) * 1024)
+
+    def full_loss(tr):
+        p = merge_trainable(tr, alive)
+        pg = preprocess(p, cam, cfg)
+        binned = bin_and_sort(pg, w, h, cfg, 0, tiles_y, cap_full)
+        img, aux = rasterize_pallas(pg, binned, w, h, cfg)
+        return jnp.sum(img * img), aux["capacity_overflow"]
+
+    t_full, (_, ovf) = timeit(jax.jit(jax.grad(full_loss, has_aux=True)),
+                              trainable)
+    assert int(ovf) == 0
+    res["t_full_frame_1chip_ms"] = round(t_full, 2)
+
+    # --- 4. projection ---
+    # Per-chip frame = shard preprocess + (strip pipeline - full
+    # preprocess) critical path + comm. ICI effective bandwidth is the one
+    # non-measured input: v5e datasheet 1,600 Gbps/chip; report 50%..100%
+    # efficiency (100..200 GB/s).
+    pipe_ms = res["strip_ms_max"] - t_pre_full + res["t_preprocess_shard_ms"]
+    mpix = w * h / 1e6
+    proj = {}
+    for eff_gbps, label in ((100.0, "ici_50pct"), (200.0, "ici_100pct")):
+        comm_ms = (ag_bytes + rs_bytes) / (eff_gbps * 1e6)
+        frame_ms = pipe_ms + comm_ms
+        proj[label] = {
+            "comm_ms": round(comm_ms, 2),
+            "frame_ms": round(frame_ms, 2),
+            "mpix_per_s": round(mpix / frame_ms * 1e3, 1),
+            "scaling_eff_vs_1chip": round(
+                t_full / (shards * frame_ms), 3),
+        }
+    res["projection_v5e8"] = proj
+    res["pipe_ms_per_chip"] = round(pipe_ms, 2)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,7 @@ def save_png(path, img) -> None:
     import struct
     import zlib
 
-    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    arr = np.round(np.clip(np.asarray(img), 0.0, 1.0) * 255.0).astype(np.uint8)
     h, w = arr.shape[:2]
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
