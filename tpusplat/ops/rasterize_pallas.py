@@ -771,19 +771,26 @@ def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
         s, hi, a_lo = info(j)
         g0 = s * GB
         nwin = pl.cdiv(hi - a_lo, WIN)
-        targets = g0 + lax.broadcasted_iota(jnp.int32, (1, GB), 1)  # [1, GB]
+        targets_col = g0 + lax.broadcasted_iota(jnp.int32, (GB, 1), 0)  # [GB, 1]
         hi_id = jnp.minimum(g0 + GB, n_real)
 
         def reduce_window(gb, ib, acc):
-            gid_t = jnp.transpose(ib[0:1, :], (1, 0))  # [WIN, 1]
-            sel = (gid_t == targets).astype(jnp.float32)  # [WIN, GB]
+            # Selection matrix built TRANSPOSED ([GB, WIN] from the free
+            # [GB, 1] target iota against the raw [1, WIN] id row — no
+            # per-window relayout) and contracted dim-1 x dim-1, the same
+            # orientation trick as the emission kernel's step matrix.
+            sel_t = (targets_col == ib[0:1, :]).astype(jnp.float32)
             # Rows outside this segment's id range — including sentinel ids
             # (== n_real, capacity padding), whose values are stale memory
             # the backward kernel never wrote — must be zeroed with a
             # select: sel is 0 there, but 0 * NaN = NaN in the matmul sum.
             in_range = (ib[0:1, :] >= g0) & (ib[0:1, :] < hi_id)
             gm = jnp.where(in_range, gb[:, :], 0.0)
-            return acc + _dot(gm, sel)  # [GPAD, GB]
+            return acc + lax.dot_general(
+                gm, sel_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )  # [GPAD, GB]
 
         # Window 0 from the prefetched head slot (issued for every segment;
         # empty/aligned-empty segments reduce a garbage window whose rows
