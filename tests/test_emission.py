@@ -89,3 +89,67 @@ def test_emission_all_culled():
     assert int(tot_p) == 0 and int(ovf_p) == 0
     assert np.all(np.asarray(tile_p) == 2**31 - 1)
     assert np.all(np.asarray(gid_p) == 512)
+
+
+def test_emission_gauss_capacity_compaction():
+    """Strip compaction: with a sufficient cap and a strip-clipped depth
+    key, outputs are identical to the uncompacted strip expansion."""
+    pg, _, tiles_x, tiles_y = _pg_and_order(6000, seed=9)
+    capacity = 32 * 1024
+    nrows = max(1, tiles_y // 3)
+    row0 = nrows
+
+    y0c = jnp.clip(pg.aabb[:, 1], row0, row0 + nrows)
+    y1c = jnp.clip(pg.aabb[:, 3], row0, row0 + nrows)
+    vis = (pg.ntiles > 0) & (y1c > y0c)
+    key = jnp.where(vis, pg.depth, jnp.float32(jnp.inf))
+    order = jnp.argsort(key, stable=True)
+    n_vis = int(jnp.sum(vis))
+    gcap = max(1024, -(-n_vis // 1024) * 1024)
+
+    ref = jax.jit(lambda: expand_instances(
+        pg, tiles_x, capacity, row0, nrows, order))()
+    got = jax.jit(lambda: expand_instances_pallas(
+        pg, tiles_x, capacity, row0, nrows, order, gauss_capacity=gcap))()
+    assert int(ref[2]) == int(got[2])
+    assert int(got[3]) == 0
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+    # Too-small cap: dropped instances surface as overflow.
+    small = max(1024, (n_vis // 2) // 1024 * 1024)
+    if small < n_vis:
+        _, _, tot_s, ovf_s = jax.jit(lambda: expand_instances_pallas(
+            pg, tiles_x, capacity, row0, nrows, order,
+            gauss_capacity=small))()
+        assert int(ovf_s) > 0
+        assert int(tot_s) + int(ovf_s) == int(ref[2]) + int(ref[3])
+
+
+def test_bin_and_sort_strip_compaction_matches():
+    """bin_and_sort with cfg-driven strip compaction equals the
+    uncompacted result (the full multi-chip configuration)."""
+    import dataclasses
+
+    from tpusplat.config import RenderConfig
+    from tpusplat.ops.binning import bin_and_sort
+
+    pg, _, tiles_x, tiles_y = _pg_and_order(6000, seed=13)
+    w, h = 256, 192
+    cfg_on = RenderConfig(sh_degree=0, use_pallas=True, capacity_mult=8,
+                          strip_gauss_mult=2.0)
+    cfg_off = dataclasses.replace(cfg_on, strip_gauss_mult=0.0)
+    nrows = max(1, tiles_y // 3)
+    gcap = cfg_on.strip_gauss_capacity(6000, nrows, tiles_y)
+    for row0 in (0, nrows):
+        r0 = jnp.asarray(row0, jnp.int32)
+        a = jax.jit(lambda r: bin_and_sort(pg, w, h, cfg_on, r, nrows,
+                                           gauss_capacity=gcap))(r0)
+        b = jax.jit(lambda r: bin_and_sort(pg, w, h, cfg_off, r, nrows))(r0)
+        assert int(a.overflow) == 0
+        np.testing.assert_array_equal(np.asarray(a.gauss_id),
+                                      np.asarray(b.gauss_id))
+        np.testing.assert_array_equal(np.asarray(a.tile_start),
+                                      np.asarray(b.tile_start))
+        np.testing.assert_array_equal(np.asarray(a.tile_end),
+                                      np.asarray(b.tile_end))

@@ -149,10 +149,16 @@ def check_strip_path(n=50_000, w=640, h=512, sh=3, seed=11, n_strips=4):
 
     trainable, alive = split_trainable(params)
 
+    # Same Gaussian-stream compaction the sharded render body applies
+    # (cfg.strip_gauss_capacity) — the gate certifies the configuration
+    # multi-chip actually runs.
+    gcap = cfg.strip_gauss_capacity(n, nrows, tiles_y)
+
     @functools.partial(jax.jit, donate_argnums=())
     def strip_img(tr, row0):
         pg = preprocess(merge_trainable(tr, alive), cam, cfg)
-        binned = bin_and_sort(pg, w, h, cfg, row0, nrows, cap_strip)
+        binned = bin_and_sort(pg, w, h, cfg, row0, nrows, cap_strip,
+                              gauss_capacity=gcap)
         img, aux = rasterize_pallas(pg, binned, w, h, cfg, row0, nrows)
         return img, aux["capacity_overflow"]
 

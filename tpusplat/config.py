@@ -93,6 +93,15 @@ class RenderConfig:
     use_pallas: bool = False
     tight_radius: bool = False
     debug_checks: bool = False
+    # Strip-compaction slack (tile-sharded rendering only): each strip's
+    # Gaussian stream is compacted to the first
+    # N * (nrows + strip_gauss_margin_rows)/tiles_y * strip_gauss_mult
+    # depth-ordered strip-visible Gaussians, removing most of the per-chip
+    # N-replication tax (docs/SCALING.md). Gaussians beyond the cap are
+    # counted into the overflow channel (regrow handles it like instance
+    # overflow). 0 disables compaction.
+    strip_gauss_mult: float = 2.0
+    strip_gauss_margin_rows: int = 4
 
     def __post_init__(self):
         # A typo like MM_PRECISION=Highest must not silently degrade to the
@@ -143,6 +152,16 @@ class RenderConfig:
             if raw is not None:
                 updates[field] = conv(raw)
         return dataclasses.replace(self, **updates) if updates else self
+
+    def strip_gauss_capacity(self, n: int, nrows: int, tiles_y: int) -> int | None:
+        """Static Gaussian-stream cap for one strip of ``nrows`` tile rows
+        (None = compaction off / not worthwhile)."""
+        if self.strip_gauss_mult <= 0 or nrows >= tiles_y:
+            return None
+        frac = min(1.0, (nrows + self.strip_gauss_margin_rows) / tiles_y)
+        cap = int(n * frac * self.strip_gauss_mult)
+        cap = max(1024, -(-cap // 1024) * 1024)
+        return cap if cap < n else None
 
     def tile_grid(self, width: int, height: int) -> tuple[int, int]:
         """(tiles_x, tiles_y), ceil-divided like ``preprocess.comp:127``."""

@@ -220,8 +220,18 @@ def bin_and_sort(
     row0=0,
     nrows: int | None = None,
     capacity: int | None = None,
+    gauss_capacity: int | None = None,
 ) -> BinnedInstances:
-    """Bin instances for the full image or a window of ``nrows`` tile rows."""
+    """Bin instances for the full image or a window of ``nrows`` tile rows.
+
+    ``gauss_capacity`` (strip mode only): compact the Gaussian stream to
+    the first ``gauss_capacity`` depth-ordered STRIP-VISIBLE Gaussians
+    before emission — the depth key then uses strip-clipped visibility, so
+    the argsort itself performs the compaction (its first entries are
+    exactly the strip's Gaussians in global depth order; relative order
+    among them is unchanged, so tile-level parity is preserved). Gaussians
+    beyond the cap are counted into ``overflow``.
+    """
     tiles_x, tiles_y = cfg.tile_grid(width, height)
     if nrows is None:
         nrows = tiles_y
@@ -229,25 +239,38 @@ def bin_and_sort(
     if capacity is None:
         capacity = cfg.instance_capacity(pg.ntiles.shape[0])
 
+    n = pg.ntiles.shape[0]
+    use_pallas_exp = cfg.use_pallas and n < 2**24 and capacity < 2**24
+    compact = (use_pallas_exp and gauss_capacity is not None
+               and gauss_capacity < n and nrows < tiles_y)
+
     # Depth pre-sort over Gaussians (N, stable) so instance emission is
     # depth-major and the big C-sort needs only the tile key. Parity: the
     # reference's stable radix sort orders by (tile, depth) with ties broken
     # by emission (gaussian-index) order — a stable argsort by depth followed
     # by a stable tile sort produces the identical permutation. Ordering
     # must not differentiate (the reference's sort is forward-only).
+    if compact:
+        # Strip-clipped visibility key: invisible-IN-STRIP Gaussians sort
+        # to the end, so order[:gauss_capacity] is the compacted stream.
+        y0c = jnp.clip(pg.aabb[:, 1], row0, row0 + nrows)
+        y1c = jnp.clip(pg.aabb[:, 3], row0, row0 + nrows)
+        vis = (pg.ntiles > 0) & (y1c > y0c)
+    else:
+        vis = pg.ntiles > 0
     depth_key = lax.stop_gradient(
-        jnp.where(pg.ntiles > 0, pg.depth, jnp.float32(jnp.inf))
+        jnp.where(vis, pg.depth, jnp.float32(jnp.inf))
     )
     depth_order = jnp.argsort(depth_key, stable=True)
 
-    n = pg.ntiles.shape[0]
-    if cfg.use_pallas and n < 2**24 and capacity < 2**24:
+    if use_pallas_exp:
         # Streaming Pallas emission (ops/emission.py): identical outputs,
         # ~5x faster than the XLA scatter/cummax/gather formulation below.
         from tpusplat.ops.emission import expand_instances_pallas
 
         tile, gid, total, overflow = expand_instances_pallas(
-            pg, tiles_x, capacity, row0, nrows, depth_order
+            pg, tiles_x, capacity, row0, nrows, depth_order,
+            gauss_capacity if compact else None,
         )
     else:
         tile, gid, total, overflow = expand_instances(

@@ -165,7 +165,7 @@ def _emission_kernel(astart_ref, nblk_ref, row0_ref, total_ref, meta_hbm,
 
 def expand_instances_pallas(
     pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0, nrows=None,
-    depth_order: jax.Array | None = None,
+    depth_order: jax.Array | None = None, gauss_capacity: int | None = None,
 ):
     """Drop-in replacement for binning.expand_instances (Pallas path).
 
@@ -173,10 +173,20 @@ def expand_instances_pallas(
     depth-major emission order, plus (total, overflow). ``row0`` may be
     traced. The kernel internally pads the slot axis to a EW*EWG multiple
     (padded slots are invalid and sliced away).
+
+    ``gauss_capacity`` (strip compaction): when the caller's depth_order
+    key marks STRIP-visible Gaussians (clipped ntiles > 0) and pushes the
+    rest to the end (inf depth key), ``order[:gauss_capacity]`` is exactly
+    the strip's Gaussians in depth order — so the meta gather, cumsum,
+    bound search, and the kernel's block walk all run at ~0.2N instead of
+    N (the per-chip N-replication tax of docs/SCALING.md). Instances of
+    Gaussians past the cap (only possible if the cap is too small) are
+    counted into ``overflow`` exactly like capacity overflow, so the
+    regrow machinery sees them.
     """
-    n = pg.ntiles.shape[0]
+    n_orig = pg.ntiles.shape[0]
     cap_pad = -(-capacity // (EW * EWG)) * (EW * EWG)
-    assert n < 2**24 and capacity < 2**24, (
+    assert n_orig < 2**24 and capacity < 2**24, (
         "emission kernel fields must stay exact in f32"
     )
     x0, y0 = pg.aabb[:, 0], pg.aabb[:, 1]
@@ -190,15 +200,24 @@ def expand_instances_pallas(
     packed = x0 + (y0 << 8) + (bbh << 16)  # 8/8/8 bits, < 2^24
 
     tbl = jnp.stack([ntiles, packed], axis=-1)  # [N, 2]
-    if depth_order is not None:
+    total_true = jnp.sum(ntiles)
+    if depth_order is not None and gauss_capacity is not None \
+            and gauss_capacity < n_orig:
+        ids = depth_order[:gauss_capacity].astype(jnp.int32)
+        tbl = tbl[ids]
+    elif depth_order is not None:
         ids = depth_order.astype(jnp.int32)
         tbl = tbl[depth_order]
     else:
-        ids = lax.iota(jnp.int32, n)
+        ids = lax.iota(jnp.int32, n_orig)
+    n = ids.shape[0]  # meta length from here on (compacted or full)
     ntiles_d = tbl[:, 0]
     cum = jnp.cumsum(ntiles_d)
     off = (cum - ntiles_d).astype(jnp.int32)
     total = cum[-1]
+    # Instances of Gaussians beyond gauss_capacity were never emitted;
+    # they are dropped instances exactly like capacity overflow.
+    gauss_dropped = total_true - total
 
     n_pad = -(-n // EIB) * EIB
     meta = jnp.stack([
@@ -246,7 +265,8 @@ def expand_instances_pallas(
         ],
     )
     tile2d, gid2d = pl.pallas_call(
-        functools.partial(_emission_kernel, tiles_x=tiles_x, n_sentinel=n),
+        functools.partial(_emission_kernel, tiles_x=tiles_x,
+                          n_sentinel=n_orig),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, cap_pad), jnp.int32),
@@ -262,6 +282,6 @@ def expand_instances_pallas(
         jnp.minimum(total, capacity).astype(jnp.int32).reshape(1),
         meta,
     )
-    overflow = jnp.maximum(total - capacity, 0)
+    overflow = jnp.maximum(total - capacity, 0) + gauss_dropped
     return (tile2d[0, :capacity], gid2d[0, :capacity],
             jnp.minimum(total, capacity), overflow)

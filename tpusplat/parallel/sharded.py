@@ -88,9 +88,13 @@ def _shard_render_body(
     )
 
     row0 = lax.axis_index("tile") * nrows
+    tiles_y = cfg.tile_grid(width, height)[1]
+    n_total = pg_full.ntiles.shape[1]  # [B_local, N] after the all_gather
+    gcap = cfg.strip_gauss_capacity(n_total, nrows, tiles_y)
 
     def render_one(pg):
-        binned = bin_and_sort(pg, width, height, cfg, row0, nrows, cap_shard)
+        binned = bin_and_sort(pg, width, height, cfg, row0, nrows, cap_shard,
+                              gauss_capacity=gcap)
         if cfg.use_pallas:
             from tpusplat.ops.rasterize_pallas import rasterize_pallas
 
