@@ -42,6 +42,9 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None, help="checkpoint path (.npz)")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--xla", action="store_true")
+    p.add_argument("--watchdog-secs", type=float, default=0.0,
+                   help="stall detector: hard-exit(42) with stack dumps if "
+                        "no step completes for this long (0 = off)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -127,10 +130,19 @@ def main(argv=None):
     retry_q = collections.deque()  # cameras to retry after a regrow
     done, seq = 0, 0
 
+    # Stall detection (train/watchdog.py): a hung device call or dead
+    # collective becomes a loud exit(42) instead of a silent forever-hang.
+    from tpusplat.train.watchdog import Watchdog
+
+    dog = Watchdog(args.watchdog_secs).start() if args.watchdog_secs > 0 \
+        else None
+
     def poll_oldest():
         nonlocal cfg, done
         i, metrics = inflight.popleft()
         overflow = int(metrics["capacity_overflow"])
+        if dog is not None:
+            dog.beat(done)  # metrics fetch above is the device sync
         if overflow > 0:
             cap_now = cfg.instance_capacity(state.params.num_gaussians)
             cfg = dataclasses.replace(
@@ -171,6 +183,8 @@ def main(argv=None):
             state = reset_opacity(state)
     while inflight:
         poll_oldest()
+    if dog is not None:
+        dog.stop()
 
     save_ply(args.out, state.params)
     print(f"saved {args.out}", file=sys.stderr)
