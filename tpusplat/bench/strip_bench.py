@@ -113,6 +113,16 @@ def main():
 
     grad_strip = jax.jit(jax.grad(strip_loss, has_aux=True))
 
+    # Viewer mode (the reference's headline use-case): forward-only strip.
+    fwd_strip = jax.jit(strip_loss)
+    fwd_ms = []
+    for s in range(shards):
+        row0 = jnp.asarray(s * nrows, jnp.int32)
+        t, _ = timeit(fwd_strip, trainable, row0, iters=12)
+        fwd_ms.append(round(max(t, 0.0), 2))
+    res["strip_fwd_only_ms"] = fwd_ms
+    res["strip_fwd_only_ms_max"] = max(fwd_ms)
+
     strip_ms, strip_inst = [], []
     for s in range(shards):
         row0 = jnp.asarray(s * nrows, jnp.int32)
@@ -181,6 +191,16 @@ def main():
         }
     res["projection_v5e8"] = proj
     res["pipe_ms_per_chip"] = round(pipe_ms, 2)
+    # Viewer-mode projection: fwd-only needs the all-gather but no
+    # gradient scatter-back.
+    fwd_pipe = (res["strip_fwd_only_ms_max"] - t_pre_full
+                + res["t_preprocess_shard_ms"])
+    fwd_frame = fwd_pipe + ag_bytes / (100.0 * 1e6)
+    res["projection_v5e8_viewer"] = {
+        "frame_ms": round(fwd_frame, 2),
+        "fps_1080p": round(1e3 / fwd_frame, 1),
+        "mpix_per_s": round(mpix / fwd_frame * 1e3, 1),
+    }
     print(json.dumps(res))
 
 
