@@ -7,6 +7,10 @@ optimization targets the true bottleneck. Results are printed as a table and
 as one JSON object (committed to docs/PROFILE_*.md per round).
 
 Run: python -m tpusplat.bench.profile_detail [garden|mid|small]
+     python -m tpusplat.bench.profile_detail strip [n_shards]
+(strip mode: per-stage times for ONE strip of tiles_y/n_shards rows at
+garden scale — the per-chip breakdown behind docs/SCALING.md, separating
+C/8-proportional stages from the N-replicated tax.)
 """
 
 from __future__ import annotations
@@ -45,6 +49,125 @@ def timeit(fn, *args, iters=5, **kw):
     return (t2 - t1) / iters * 1e3, out  # ms
 
 
+def strip_main(shards: int):
+    """Per-stage times for one strip (garden/n_shards) — the per-chip
+    breakdown behind docs/SCALING.md's N-replication-tax analysis."""
+    import dataclasses
+
+    import numpy as np  # noqa: F401
+
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.ops import binning
+    from tpusplat.ops import rasterize_pallas as rp
+    from tpusplat.ops.emission import expand_instances_pallas
+    from tpusplat.ops.preprocess import preprocess
+
+    n, w, h = 1_400_000, 1920, 1080
+    params = random_scene(n, seed=0, sh_degree=3, scale_range=(0.002, 0.02),
+                          extent=4.0)
+    cam = look_at_camera([0.0, 0.5, 9.0], [0.0, 0.0, 0.0], w, h, fov_deg=60.0)
+    cfg = RenderConfig(sh_degree=3, use_pallas=True, max_per_tile=4096,
+                       tight_radius=True)
+    tiles_x, tiles_y = cfg.tile_grid(w, h)
+    nrows = -(-tiles_y // shards)
+    needed = int(jax.jit(
+        lambda p: jnp.sum(preprocess(p, cam, cfg).ntiles))(params))
+    cap = max(1024, -(-int(needed / shards * 1.35) // 1024) * 1024)
+    gcap = cfg.strip_gauss_capacity(n, nrows, tiles_y)
+    pg = jax.jit(partial(preprocess, cfg=cfg))(params, cam)
+    row0 = jnp.asarray(2 * nrows, jnp.int32)
+    res: dict = {"nrows": nrows, "cap_strip": cap, "gauss_capacity": gcap}
+    print(f"strip profile: strip 2/{shards} nrows={nrows} cap={cap} "
+          f"gcap={gcap} backend={jax.default_backend()}",
+          file=sys.stderr, flush=True)
+
+    if gcap is not None:
+        def dsort(pg, r0):
+            y0c = jnp.clip(pg.aabb[:, 1], r0, r0 + nrows)
+            y1c = jnp.clip(pg.aabb[:, 3], r0, r0 + nrows)
+            vis = (pg.ntiles > 0) & (y1c > y0c)
+            key = lax.stop_gradient(
+                jnp.where(vis, pg.depth, jnp.float32(jnp.inf)))
+            return jnp.argsort(key, stable=True)
+    else:
+        def dsort(pg, r0):
+            key = lax.stop_gradient(
+                jnp.where(pg.ntiles > 0, pg.depth, jnp.float32(jnp.inf)))
+            return jnp.argsort(key, stable=True)
+
+    res["argsort_N"], order = timeit(jax.jit(dsort), pg, row0)
+
+    exp = jax.jit(partial(expand_instances_pallas, tiles_x=tiles_x,
+                          capacity=cap, nrows=nrows, gauss_capacity=gcap))
+    res["emission"], (tile, gid, tot, ovf) = timeit(
+        lambda pg, r0, o: exp(pg, row0=r0, depth_order=o), pg, row0, order)
+    assert int(ovf) == 0, f"strip overflow {int(ovf)}"
+    res["strip_instances"] = int(tot)
+
+    t_ts, (tile_s, gid_s) = timeit(
+        jax.jit(lambda t, g: lax.sort((t, g), num_keys=1, is_stable=True)),
+        tile, gid, iters=20)
+    res["tile_sort"] = max(t_ts, 0.0)  # sub-ms: clamp the noise floor
+
+    num_tiles = tiles_x * nrows
+
+    def bounds(ts):
+        rng = lax.iota(jnp.int32, num_tiles + 1)
+        b = binning.searchsorted_left_big(ts, rng)
+        return b[:num_tiles], b[1:]
+
+    t_b, (starts, ends) = timeit(jax.jit(bounds), tile_s, iters=20)
+    res["boundaries"] = max(t_b, 0.0)
+
+    binned = binning.BinnedInstances(
+        gauss_id=gid_s, tile_id=tile_s, tile_start=starts, tile_end=ends,
+        num_instances=tot, overflow=ovf)
+    res["pack_gather"], attr = timeit(jax.jit(rp.pack_instances), pg, binned)
+
+    t_pad = -(-num_tiles // rp.GROUP) * rp.GROUP
+    starts_p = jnp.pad(starts, (0, t_pad - num_tiles))
+    ends_p = jnp.pad(ends, (0, t_pad - num_tiles))
+    static = dict(tiles_x=tiles_x, num_tiles=num_tiles,
+                  tile_w=cfg.tile_w, tile_h=cfg.tile_h, cfg=cfg)
+    fwd = jax.jit(partial(rp._run_forward, **static))
+    res["raster_fwd"], out = timeit(fwd, attr, starts_p, ends_p,
+                                    row0.reshape(1))
+    cot = jnp.zeros_like(out).at[:, 0:3, :].set(1.0 / (w * h * 3))
+    bwd = jax.jit(partial(rp._run_backward, **static))
+    res["raster_bwd"], dattr = timeit(bwd, attr, starts_p, ends_p,
+                                      row0.reshape(1), cot, out)
+
+    def grad_sort(dattr, gid):
+        cols = tuple(dattr[k, :cap] for k in range(rp.GROWS))
+        return lax.sort((gid,) + cols, num_keys=1, is_stable=False)
+
+    res["grad_sort"], sorted_ = timeit(jax.jit(grad_sort), dattr, gid_s)
+
+    def segreduce(sorted_):
+        gid_sd = sorted_[0]
+        grad = jnp.stack(sorted_[1:])
+        n_pad = -(-n // (rp.GB * rp.SEGG)) * (rp.GB * rp.SEGG)
+        qs = jnp.minimum(lax.iota(jnp.int32, n_pad // rp.GB + 1) * rp.GB,
+                         jnp.int32(n))
+        b = binning.searchsorted_left_big(gid_sd, qs)
+        grad = jnp.pad(grad, ((0, rp.GPAD - rp.GROWS), (0, rp.WIN)))
+        gid2d = jnp.pad(gid_sd[None, :], ((0, 0), (0, rp.WIN)),
+                        constant_values=-1)
+        g = rp._run_segment_reduce(grad, gid2d, b, n_pad, n)
+        return jnp.transpose(g[:, :n], (1, 0))
+
+    res["segment_reduce"], _ = timeit(jax.jit(segreduce), sorted_)
+
+    width = max(len(k) for k in res)
+    for k, v in res.items():
+        vv = f"{v:10.2f} ms" if isinstance(v, float) else f"{v!r:>10}"
+        print(f"{k:<{width}} {vv}", file=sys.stderr, flush=True)
+    print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in res.items()}))
+
+
 def main():
     from tpusplat.camera import look_at_camera
     from tpusplat.config import RenderConfig
@@ -54,6 +177,8 @@ def main():
     from tpusplat.ops import rasterize_pallas as rp
 
     conf = sys.argv[1] if len(sys.argv) > 1 else "garden"
+    if conf == "strip":
+        return strip_main(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     scale = dict(
         garden=dict(n=1_400_000, w=1920, h=1080, sh=3, cap=4, srange=(0.002, 0.02)),
         bicycle=dict(n=6_000_000, w=1600, h=1063, sh=3, cap=3,
