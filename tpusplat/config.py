@@ -98,8 +98,10 @@ class RenderConfig:
     # N * (nrows + strip_gauss_margin_rows)/tiles_y * strip_gauss_mult
     # depth-ordered strip-visible Gaussians, removing most of the per-chip
     # N-replication tax (docs/SCALING.md). Gaussians beyond the cap are
-    # counted into the overflow channel (regrow handles it like instance
-    # overflow). 0 disables compaction.
+    # counted into the overflow channel, so a too-small cap is detected,
+    # never silent — but a host regrow loop that only grows the INSTANCE
+    # capacity will not clear it: if overflow persists after an instance
+    # regrow, raise strip_gauss_mult (or set 0 to disable compaction).
     strip_gauss_mult: float = 2.0
     strip_gauss_margin_rows: int = 4
 
