@@ -52,10 +52,6 @@ def timeit(fn, *args, iters=5, **kw):
 def strip_main(shards: int):
     """Per-stage times for one strip (garden/n_shards) — the per-chip
     breakdown behind docs/SCALING.md's N-replication-tax analysis."""
-    import dataclasses
-
-    import numpy as np  # noqa: F401
-
     from tpusplat.camera import look_at_camera
     from tpusplat.config import RenderConfig
     from tpusplat.io.synthetic import random_scene

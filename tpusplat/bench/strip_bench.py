@@ -21,7 +21,6 @@ Prints a JSON object with every measured input + the projection.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import sys
 import time
