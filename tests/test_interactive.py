@@ -71,3 +71,23 @@ def test_ansi_frame_shape():
     lines = text.split("\n")
     assert all(line.endswith("\x1b[0m") for line in lines)
     assert len(lines) >= 2
+
+
+def test_stage_metrics_overlay_and_draw_profiled():
+    """Per-stage metrics (GUIManager's live stage-time rows,
+    src/GUIManager.cpp:45-100): draw_profiled returns the three stage
+    times, and the interactive overlay surfaces them on sampled frames."""
+    s = _session()
+    s.initialize()
+    img, aux, stage_ms = s.draw_profiled()
+    assert set(stage_ms) == {"preprocess", "bin+sort", "raster"}
+    assert all(v >= 0.0 for v in stage_ms.values())
+    assert np.isfinite(np.asarray(img)).all()
+    assert "num_instances" in aux
+
+    s2 = _session()
+    out = io.StringIO()
+    run_interactive(s2, keys=["w", "w", "w", "q"], out=out, cols=32,
+                    profile_every=2)
+    text = out.getvalue()
+    assert "stages" in text and "raster" in text
