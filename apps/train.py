@@ -73,10 +73,23 @@ def main(argv=None):
 
     # --- data ---
     cams, targets = [], []
+    colmap_init = None
     if args.data:
-        from tpusplat.io.dataset import is_nerf_synthetic, load_nerf_synthetic, load_views
+        from tpusplat.io.dataset import (
+            is_colmap, is_nerf_synthetic, load_nerf_synthetic, load_views,
+            read_image,
+        )
 
-        if is_nerf_synthetic(args.data):
+        if is_colmap(args.data):
+            # COLMAP capture (the standard Mip-NeRF360 layout: sparse/0 +
+            # images/); the SfM point cloud seeds the model, the standard
+            # 3DGS recipe.
+            from tpusplat.io.colmap import load_colmap_scene
+
+            cams, names, colmap_init = load_colmap_scene(args.data)
+            imgs = [read_image(os.path.join(args.data, "images", nm))[..., :3]
+                    for nm in names]
+        elif is_nerf_synthetic(args.data):
             cams, imgs = load_nerf_synthetic(args.data)
         else:
             cams, imgs = load_views(args.data)
@@ -98,12 +111,45 @@ def main(argv=None):
         scene_extent = 6.0
 
     # --- init model ---
-    cap = args.capacity or 4 * args.n_init
-    init = random_scene(cap, seed=1, sh_degree=args.sh_degree, extent=3.0,
-                        scale_range=(0.05, 0.25))
-    alive = np.zeros(cap, bool)
-    alive[: args.n_init] = True
-    init = dataclasses.replace(init, alive=jnp.asarray(alive))
+    if colmap_init is not None:
+        # Seed from the SfM point cloud (upstream 3DGS initialization);
+        # dead random slots beyond it leave densification headroom.
+        m_pts = colmap_init.num_gaussians
+        cap = args.capacity or 4 * m_pts
+        m = min(m_pts, cap)
+        base = random_scene(cap, seed=1, sh_degree=args.sh_degree,
+                            extent=3.0, scale_range=(0.05, 0.25))
+        k_sh = int(base.sh.shape[1])
+
+        def seed_first(b, v):
+            out = np.asarray(b).copy()
+            v = np.asarray(v)
+            if out.ndim == 3:  # sh: slice to this run's coefficient count
+                out[:m] = v[:m, :k_sh, :]
+            else:
+                out[:m] = v[:m]
+            return jnp.asarray(out)
+
+        alive = np.zeros(cap, bool)
+        alive[:m] = True
+        init = dataclasses.replace(
+            base,
+            means=seed_first(base.means, colmap_init.means),
+            log_scales=seed_first(base.log_scales, colmap_init.log_scales),
+            quats=seed_first(base.quats, colmap_init.quats),
+            opacities=seed_first(base.opacities, colmap_init.opacities),
+            sh=seed_first(base.sh, colmap_init.sh),
+            alive=jnp.asarray(alive),
+        )
+        print(json.dumps(dict(colmap_points=int(m_pts), seeded=int(m),
+                              capacity=cap)), file=sys.stderr, flush=True)
+    else:
+        cap = args.capacity or 4 * args.n_init
+        init = random_scene(cap, seed=1, sh_degree=args.sh_degree, extent=3.0,
+                            scale_range=(0.05, 0.25))
+        alive = np.zeros(cap, bool)
+        alive[: args.n_init] = True
+        init = dataclasses.replace(init, alive=jnp.asarray(alive))
 
     optimizer = make_optimizer(scene_extent=scene_extent,
                                means_lr_max_steps=args.steps)

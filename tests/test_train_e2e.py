@@ -102,3 +102,102 @@ def test_dataset_dress_rehearsal(tmp_path, capsys):
     cam = look_at_camera([0.0, 0.6, 5.0], [0, 0, 0], 96, 96, fov_deg=60.0)
     img, aux = render_stages(params, cam, RenderConfig(sh_degree=1))
     assert np.isfinite(np.asarray(img)).all()
+
+
+def _rotmat_to_quat(r):
+    """(w,x,y,z) from a rotation matrix (standard Shepperd branch-free-ish)."""
+    t = np.trace(r)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (r[2, 1] - r[1, 2]) / s,
+                         (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s])
+    i = int(np.argmax(np.diag(r)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(r[i, i] - r[j, j] - r[k, k] + 1.0, 1e-12)) * 2
+    q = np.zeros(4)
+    q[0] = (r[k, j] - r[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (r[j, i] + r[i, j]) / s
+    q[1 + k] = (r[k, i] + r[i, k]) / s
+    return q
+
+
+def _write_colmap_dataset(root, n_cams=5, wh=96):
+    """Render a GT scene from an orbit and save it as a COLMAP capture
+    (sparse/0 binaries + images/ PNGs), with the GT means as the 'SfM'
+    point cloud."""
+    from tests.test_colmap import (
+        _write_cameras_bin, _write_images_bin, _write_points3d_bin,
+    )
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.dataset import save_png
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.render import render_stages
+
+    gt = random_scene(1200, seed=42, sh_degree=1, scale_range=(0.08, 0.3))
+    cfg = RenderConfig(sh_degree=1, max_per_tile=2048)
+    fov = np.deg2rad(60.0)
+    fx = wh / (2.0 * np.tan(fov / 2))
+
+    sparse = os.path.join(root, "sparse", "0")
+    os.makedirs(sparse, exist_ok=True)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+
+    cv_to_gl = np.diag([1.0, -1.0, -1.0])
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    images = []
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams
+        eye = np.array([5.0 * np.sin(ang), 0.6, 5.0 * np.cos(ang)])
+        cam = look_at_camera(eye, [0, 0, 0], wh, wh, fov_deg=60.0)
+        img, _ = render_stages(gt, cam, cfg)
+        name = f"r_{i}.png"
+        save_png(os.path.join(root, "images", name), np.asarray(img))
+        # our pre-flip (OpenGL) world-to-view -> COLMAP's OpenCV frame
+        view_gl = flip @ np.asarray(cam.view, np.float64)
+        r_cv = cv_to_gl @ view_gl[:3, :3]
+        t_cv = cv_to_gl @ view_gl[:3, 3]
+        images.append((i + 1, list(_rotmat_to_quat(r_cv)), list(t_cv), 1,
+                       name, []))
+    _write_cameras_bin(os.path.join(sparse, "cameras.bin"),
+                       [(1, 1, wh, wh, [fx, fx, wh / 2, wh / 2])])
+    _write_images_bin(os.path.join(sparse, "images.bin"), images)
+    # GT means (subsampled) as the SfM cloud, mid-gray colours.
+    pts = np.asarray(gt.means)[::2]
+    _write_points3d_bin(
+        os.path.join(sparse, "points3D.bin"),
+        [(i, list(map(float, p)), [128, 128, 128], 0.5, [])
+         for i, p in enumerate(pts)])
+
+
+def test_colmap_dress_rehearsal(tmp_path):
+    """COLMAP capture on disk -> train.py --data (point-cloud seeding) ->
+    loss improves -> .ply round-trips."""
+    import contextlib
+    import io
+
+    from apps.train import main as train_main
+    from tpusplat.io.ply import load_ply
+
+    root = str(tmp_path / "capture")
+    os.makedirs(root)
+    _write_colmap_dataset(root)
+
+    out_ply = str(tmp_path / "colmap_trained.ply")
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        train_main([
+            "--data", root, "--steps", "40", "--sh-degree", "1",
+            "--densify-every", "0", "--log-every", "10", "--out", out_ply,
+        ])
+    lines = [json.loads(ln) for ln in err.getvalue().splitlines()
+             if ln.startswith("{")]
+    seeded = [ln for ln in lines if "colmap_points" in ln]
+    assert seeded and seeded[0]["seeded"] == 600
+    losses = [ln["loss"] for ln in lines if "loss" in ln]
+    assert len(losses) >= 3
+    assert losses[-1] < losses[0] * 0.95, f"loss did not improve: {losses}"
+
+    params = load_ply(out_ply)
+    assert np.isfinite(np.asarray(params.means)).all()

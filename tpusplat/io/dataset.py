@@ -112,6 +112,16 @@ def save_png(path, img) -> None:
         f.write(png)
 
 
+def read_image(path) -> np.ndarray:
+    """Read an image file to [H, W, C] floats in [0, 1] (PIL when
+    available — any format; otherwise the dep-free 8-bit PNG reader)."""
+    return _read_png(path)
+
+
+def is_colmap(directory) -> bool:
+    return os.path.isdir(os.path.join(directory, "sparse"))
+
+
 def is_nerf_synthetic(directory) -> bool:
     return any(
         os.path.exists(os.path.join(directory, f"transforms{s}.json"))
