@@ -38,13 +38,20 @@ def main(argv=None):
     p.add_argument("--densify-every", type=int, default=200)
     p.add_argument("--densify-until", type=int, default=0, help="0 = steps//2")
     p.add_argument("--opacity-reset-every", type=int, default=1500)
+    p.add_argument("--holdout", type=int, default=0,
+                   help="hold out every Kth view from training for PSNR/SSIM "
+                        "eval (0 = eval on training views)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="log eval PSNR/SSIM every N steps (0 = final only)")
     p.add_argument("--out", default="trained.ply")
     p.add_argument("--ckpt", default=None, help="checkpoint path (.npz)")
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--xla", action="store_true")
     p.add_argument("--watchdog-secs", type=float, default=0.0,
                    help="stall detector: hard-exit(42) with stack dumps if "
-                        "no step completes for this long (0 = off)")
+                        "no step completes for this long (0 = off). Must "
+                        "exceed the worst-case pipeline compile time: the "
+                        "first step and every post-regrow retry recompile")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -151,6 +158,15 @@ def main(argv=None):
         alive[: args.n_init] = True
         init = dataclasses.replace(init, alive=jnp.asarray(alive))
 
+    # --- held-out eval split (every Kth view, the llffhold convention) ---
+    eval_cams, eval_targets = cams, targets
+    if args.holdout > 0 and len(cams) > args.holdout:
+        hold = set(range(0, len(cams), args.holdout))
+        eval_cams = [c for i, c in enumerate(cams) if i in hold]
+        eval_targets = [t for i, t in enumerate(targets) if i in hold]
+        cams = [c for i, c in enumerate(cams) if i not in hold]
+        targets = [t for i, t in enumerate(targets) if i not in hold]
+
     optimizer = make_optimizer(scene_extent=scene_extent,
                                means_lr_max_steps=args.steps)
     state = create_train_state(init, optimizer)
@@ -187,8 +203,20 @@ def main(argv=None):
         nonlocal cfg, done
         i, metrics = inflight.popleft()
         overflow = int(metrics["capacity_overflow"])
+        gauss_ovf = int(metrics.get("gauss_overflow", 0))
         if dog is not None:
             dog.beat(done)  # metrics fetch above is the device sync
+        if gauss_ovf > 0:
+            # Strip-compaction cap overflow: growing the INSTANCE capacity
+            # cannot clear it — grow the Gaussian-stream multiplier instead
+            # (the machine-distinguished recovery, ADVICE r4).
+            cfg = dataclasses.replace(
+                cfg, strip_gauss_mult=cfg.strip_gauss_mult * 1.5)
+            retry_q.append(i)
+            print(json.dumps(dict(
+                step=done + 1, strip_gauss_mult_regrow=cfg.strip_gauss_mult,
+                gauss_overflow=gauss_ovf)), file=sys.stderr, flush=True)
+            return
         if overflow > 0:
             cap_now = cfg.instance_capacity(state.params.num_gaussians)
             cfg = dataclasses.replace(
@@ -206,13 +234,41 @@ def main(argv=None):
                 sps=round(done / (time.time() - t0), 2),
             )), file=sys.stderr, flush=True)
 
+    # Held-out quality eval: PSNR/SSIM on the eval views (quality as a
+    # NUMBER, not a loss delta — a regression that still reduces loss, e.g.
+    # opacity collapse, shows up here). Reuses the training-shape compiled
+    # renderer, so an eval pass costs forward-only frames.
+    from tpusplat.render import render_stages as _render_eval
+    from tpusplat.train.losses import psnr as _psnr, ssim as _ssim
+
+    def run_eval(step_no, final=False):
+        ps, ss = [], []
+        for cam_e, tgt_e in zip(eval_cams, eval_targets):
+            img, _ = _render_eval(state.params, cam_e, cfg)
+            ps.append(float(_psnr(img, tgt_e)))
+            ss.append(float(_ssim(img, tgt_e)))
+        print(json.dumps(dict(
+            eval_step=step_no, psnr=round(sum(ps) / len(ps), 2),
+            ssim=round(sum(ss) / len(ss), 4), views=len(ps),
+            holdout=args.holdout > 0, final=final,
+        )), file=sys.stderr, flush=True)
+
     last_densify = last_reset = 0
+    last_eval = 0
+    if args.eval_every:
+        run_eval(0)  # pre-training baseline, so improvement is measurable
     while done < args.steps:
         if retry_q:
             i = retry_q.popleft()
         else:
             i = seq % len(cams)
             seq += 1
+        if dog is not None:
+            # Mark 'work submitted' BEFORE the dispatch: the first step (and
+            # every post-regrow retry) includes a full pipeline compile that
+            # can exceed a steady-state timeout; the completion heartbeat in
+            # poll_oldest alone would spuriously expire during it.
+            dog.beat(done)
         state, metrics = train_step(state, cams[i], targets[i], cfg, optimizer)
         inflight.append((i, metrics))
         if len(inflight) >= 2 or done + len(inflight) >= args.steps:
@@ -227,10 +283,14 @@ def main(argv=None):
                 and step <= densify_until:
             last_reset = step
             state = reset_opacity(state)
+        if args.eval_every and step - last_eval >= args.eval_every:
+            last_eval = step
+            run_eval(step)
     while inflight:
         poll_oldest()
     if dog is not None:
         dog.stop()
+    run_eval(done, final=True)
 
     save_ply(args.out, state.params)
     print(f"saved {args.out}", file=sys.stderr)

@@ -36,11 +36,12 @@ def test_emission_matches_xla_expand(n, capmult):
         pg, tiles_x, capacity, 0, tiles_y, o))
     fn_p = jax.jit(lambda pg, o: expand_instances_pallas(
         pg, tiles_x, capacity, 0, tiles_y, o))
-    tile_x, gid_x, tot_x, ovf_x = fn_x(pg, order)
-    tile_p, gid_p, tot_p, ovf_p = fn_p(pg, order)
+    tile_x, gid_x, tot_x, ovf_x, govf_x = fn_x(pg, order)
+    tile_p, gid_p, tot_p, ovf_p, govf_p = fn_p(pg, order)
 
     assert int(tot_x) == int(tot_p)
     assert int(ovf_x) == int(ovf_p)
+    assert int(govf_x) == int(govf_p) == 0
     np.testing.assert_array_equal(np.asarray(tile_x), np.asarray(tile_p))
     np.testing.assert_array_equal(np.asarray(gid_x), np.asarray(gid_p))
 
@@ -55,8 +56,8 @@ def test_emission_strip_window_traced_row0():
             pg, tiles_x, capacity, r, nrows, o))
         fn_p = jax.jit(lambda pg, o, r: expand_instances_pallas(
             pg, tiles_x, capacity, r, nrows, o))
-        tile_x, gid_x, tot_x, _ = fn_x(pg, order, r0)
-        tile_p, gid_p, tot_p, _ = fn_p(pg, order, r0)
+        tile_x, gid_x, tot_x, _, _ = fn_x(pg, order, r0)
+        tile_p, gid_p, tot_p, _, _ = fn_p(pg, order, r0)
         assert int(tot_x) == int(tot_p)
         np.testing.assert_array_equal(np.asarray(tile_x), np.asarray(tile_p))
         np.testing.assert_array_equal(np.asarray(gid_x), np.asarray(gid_p))
@@ -67,9 +68,9 @@ def test_emission_overflow_truncation():
     total = int(jnp.sum(pg.ntiles))
     capacity = max(1024, (total // 3) // 1024 * 1024)  # force overflow
     assert total > capacity
-    tile_x, gid_x, tot_x, ovf_x = jax.jit(lambda: expand_instances(
+    tile_x, gid_x, tot_x, ovf_x, _ = jax.jit(lambda: expand_instances(
         pg, tiles_x, capacity, 0, tiles_y, order))()
-    tile_p, gid_p, tot_p, ovf_p = jax.jit(lambda: expand_instances_pallas(
+    tile_p, gid_p, tot_p, ovf_p, _ = jax.jit(lambda: expand_instances_pallas(
         pg, tiles_x, capacity, 0, tiles_y, order))()
     assert int(ovf_x) == int(ovf_p) == total - capacity
     assert int(tot_x) == int(tot_p) == capacity
@@ -84,7 +85,7 @@ def test_emission_all_culled():
     pg0 = dataclasses.replace(pg, ntiles=jnp.zeros_like(pg.ntiles))
     key = jnp.where(pg0.ntiles > 0, pg0.depth, jnp.float32(jnp.inf))
     order0 = jnp.argsort(key, stable=True)
-    tile_p, gid_p, tot_p, ovf_p = jax.jit(lambda: expand_instances_pallas(
+    tile_p, gid_p, tot_p, ovf_p, _ = jax.jit(lambda: expand_instances_pallas(
         pg0, tiles_x, 2048, 0, tiles_y, order0))()
     assert int(tot_p) == 0 and int(ovf_p) == 0
     assert np.all(np.asarray(tile_p) == 2**31 - 1)
@@ -116,14 +117,16 @@ def test_emission_gauss_capacity_compaction():
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
 
-    # Too-small cap: dropped instances surface as overflow.
+    # Too-small cap: dropped instances surface in the SEPARATE gauss
+    # channel (the recovery is strip_gauss_mult, not instance capacity).
     small = max(1024, (n_vis // 2) // 1024 * 1024)
     if small < n_vis:
-        _, _, tot_s, ovf_s = jax.jit(lambda: expand_instances_pallas(
+        _, _, tot_s, ovf_s, govf_s = jax.jit(lambda: expand_instances_pallas(
             pg, tiles_x, capacity, row0, nrows, order,
             gauss_capacity=small))()
-        assert int(ovf_s) > 0
-        assert int(tot_s) + int(ovf_s) == int(ref[2]) + int(ref[3])
+        assert int(govf_s) > 0
+        assert int(tot_s) + int(ovf_s) + int(govf_s) \
+            == int(ref[2]) + int(ref[3])
 
 
 def test_bin_and_sort_strip_compaction_matches():

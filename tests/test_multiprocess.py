@@ -2,9 +2,11 @@
 
 Launches 2 OS processes, each with 4 virtual CPU devices, that join one
 jax.distributed cluster through ``parallel.mesh.multihost_initialize`` (the
-BASELINE config-5 bring-up path) and run ``sharded_train_step`` over the
-resulting 8-device (2x4) global mesh. Process 0 asserts the distributed
-loss matches a single-process reference — so the multi-host code path is
+BASELINE config-5 bring-up path) and run BOTH ``sharded_train_step`` and
+``sharded_train_step_overlap`` (halo-exchange strip loss + ppermute ring,
+the path the 2-host scaling claim rests on) over the resulting 8-device
+(2x4) global mesh. Process 0 asserts each distributed loss matches the
+single-process monolithic reference — so the multi-host code path is
 EXECUTED, not merely defined. Uses the gloo/CPU backend; on a pod the same
 calls ride ICI (parallel/mesh.py docstring).
 """
@@ -50,7 +52,9 @@ _WORKER = textwrap.dedent("""
     from tpusplat.camera import look_at_camera
     from tpusplat.config import RenderConfig
     from tpusplat.io.synthetic import random_scene
-    from tpusplat.parallel.sharded import params_sharding, sharded_train_step
+    from tpusplat.parallel.sharded import (
+        params_sharding, sharded_train_step, sharded_train_step_overlap,
+    )
     from tpusplat.train.step import create_train_state, make_optimizer
     from tpusplat.types import stack_cameras
 
@@ -94,8 +98,23 @@ _WORKER = textwrap.dedent("""
     # devices this process cannot address.
     loss = float(jax.device_get(jax.jit(jnp.mean)(metrics["loss"])))
     ovf = int(jax.device_get(jax.jit(jnp.sum)(metrics["capacity_overflow"])))
+
+    # The OVERLAP step (halo-exchange strip loss + explicit ppermute ring
+    # grad reduce) — the exact path the >=85% 2-host scaling claim rests
+    # on — must also cross a real process boundary, from a fresh state.
+    state_o = create_train_state(
+        jax.tree_util.tree_map(lambda x, s: put(np.asarray(x), s.spec),
+                               params, pshard),
+        optimizer)
+    state_o, metrics_o = sharded_train_step_overlap(
+        state_o, cams_sh, targets_sh, cfg, optimizer, mesh,
+        grad_reduce="ring")
+    loss_ring = float(jax.device_get(jax.jit(jnp.mean)(metrics_o["loss"])))
+    ovf_ring = int(jax.device_get(
+        jax.jit(jnp.sum)(metrics_o["capacity_overflow"])))
     if pid == 0:
         print(json.dumps({"loss": loss, "overflow": ovf,
+                          "loss_ring": loss_ring, "overflow_ring": ovf_ring,
                           "processes": jax.process_count()}))
 """)
 
@@ -121,7 +140,7 @@ def test_two_process_gloo_sharded_step(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=420) for p in procs]
+    outs = [p.communicate(timeout=560) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{se[-3000:]}"
 
@@ -129,6 +148,8 @@ def test_two_process_gloo_sharded_step(tmp_path):
     assert result["processes"] == 2
     assert result["overflow"] == 0
     assert np.isfinite(result["loss"])
+    assert result["overflow_ring"] == 0
+    assert np.isfinite(result["loss_ring"])
 
     # Single-process (8 virtual devices, same mesh shape) reference.
     import dataclasses  # noqa: F401
@@ -167,4 +188,13 @@ def test_two_process_gloo_sharded_step(tmp_path):
 
     assert abs(result["loss"] - ref_loss) <= 1e-5 * max(1.0, abs(ref_loss)), (
         f"2-process loss {result['loss']} != single-process {ref_loss}"
+    )
+    # Overlap-step loss across the REAL process boundary equals the
+    # monolithic single-process reference (same contract test_collectives
+    # certifies on one process: equality up to fp reassociation of the
+    # ring/halo reductions).
+    assert abs(result["loss_ring"] - ref_loss) \
+        <= 1e-5 * max(1.0, abs(ref_loss)), (
+        f"2-process overlap(ring) loss {result['loss_ring']} != "
+        f"single-process monolithic {ref_loss}"
     )

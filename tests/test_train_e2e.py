@@ -77,7 +77,7 @@ def test_dataset_dress_rehearsal(tmp_path, capsys):
         train_main([
             "--data", root, "--steps", "60", "--n-init", "800",
             "--sh-degree", "1", "--densify-every", "25", "--log-every", "10",
-            "--out", out_ply,
+            "--eval-every", "20", "--holdout", "3", "--out", out_ply,
         ])
     lines = [json.loads(ln) for ln in err.getvalue().splitlines()
              if ln.startswith("{")]
@@ -85,6 +85,15 @@ def test_dataset_dress_rehearsal(tmp_path, capsys):
     assert len(losses) >= 3, f"no loss logs: {err.getvalue()[-2000:]}"
     assert losses[-1] < losses[0] * 0.9, f"loss did not improve: {losses}"
     assert all(ln.get("overflow", 0) == 0 for ln in lines if "loss" in ln)
+
+    # Image QUALITY must improve on views training never saw — a loss
+    # delta alone can mask a render regression (VERDICT r4 weak #5).
+    evals = [ln for ln in lines if "psnr" in ln]
+    assert len(evals) >= 3 and evals[0]["holdout"] and evals[-1]["final"]
+    psnrs = [e["psnr"] for e in evals]
+    assert psnrs[-1] > psnrs[0] + 0.5, f"held-out PSNR did not improve: {psnrs}"
+    assert psnrs[-1] > 14.0, f"held-out PSNR too low: {psnrs}"
+    assert evals[-1]["ssim"] > evals[0]["ssim"], "held-out SSIM regressed"
 
     # The produced scene file must round-trip through our PLY reader (the
     # reference's input contract, src/GSScene.cpp:26-68).
@@ -189,7 +198,8 @@ def test_colmap_dress_rehearsal(tmp_path):
     with contextlib.redirect_stderr(err):
         train_main([
             "--data", root, "--steps", "40", "--sh-degree", "1",
-            "--densify-every", "0", "--log-every", "10", "--out", out_ply,
+            "--densify-every", "0", "--log-every", "10",
+            "--eval-every", "20", "--out", out_ply,
         ])
     lines = [json.loads(ln) for ln in err.getvalue().splitlines()
              if ln.startswith("{")]
@@ -198,6 +208,13 @@ def test_colmap_dress_rehearsal(tmp_path):
     losses = [ln["loss"] for ln in lines if "loss" in ln]
     assert len(losses) >= 3
     assert losses[-1] < losses[0] * 0.95, f"loss did not improve: {losses}"
+
+    # PSNR as a number (5 views is too few to also hold some out; the
+    # synthetic rehearsal above covers the held-out case).
+    evals = [ln for ln in lines if "psnr" in ln]
+    assert len(evals) >= 2 and evals[-1]["final"]
+    assert evals[-1]["psnr"] > evals[0]["psnr"], \
+        f"PSNR did not improve: {[e['psnr'] for e in evals]}"
 
     params = load_ply(out_ply)
     assert np.isfinite(np.asarray(params.means)).all()

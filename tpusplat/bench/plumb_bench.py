@@ -91,8 +91,8 @@ def main():
         r["expand_pallas"] = timeit(em_pallas, pg, order)
         r["expand_xla"] = timeit(em_xla, pg, order)
         # correctness spot-check on hardware
-        tp, gp, totp, _ = jax.jit(em_pallas)(pg, order)
-        tx_, gx_, totx, _ = jax.jit(em_xla)(pg, order)
+        tp, gp, totp, _, _ = jax.jit(em_pallas)(pg, order)
+        tx_, gx_, totx, _, _ = jax.jit(em_xla)(pg, order)
         same_t = bool(jnp.all(tp == tx_))
         same_g = bool(jnp.all(gp == gx_))
         r["expand_match"] = float(same_t and same_g and int(totp) == int(totx))

@@ -97,9 +97,10 @@ def strip_main(shards: int):
 
     exp = jax.jit(partial(expand_instances_pallas, tiles_x=tiles_x,
                           capacity=cap, nrows=nrows, gauss_capacity=gcap))
-    res["emission"], (tile, gid, tot, ovf) = timeit(
+    res["emission"], (tile, gid, tot, ovf, govf) = timeit(
         lambda pg, r0, o: exp(pg, row0=r0, depth_order=o), pg, row0, order)
-    assert int(ovf) == 0, f"strip overflow {int(ovf)}"
+    assert int(ovf) == 0 and int(govf) == 0, (
+        f"strip overflow {int(ovf)} gauss {int(govf)}")
     res["strip_instances"] = int(tot)
 
     t_ts, (tile_s, gid_s) = timeit(
@@ -119,7 +120,7 @@ def strip_main(shards: int):
 
     binned = binning.BinnedInstances(
         gauss_id=gid_s, tile_id=tile_s, tile_start=starts, tile_end=ends,
-        num_instances=tot, overflow=ovf)
+        num_instances=tot, overflow=ovf, gauss_overflow=govf)
     res["pack_gather"], attr = timeit(jax.jit(rp.pack_instances), pg, binned)
 
     t_pad = -(-num_tiles // rp.GROUP) * rp.GROUP
@@ -216,7 +217,7 @@ def main():
 
     expand = jax.jit(partial(expand_instances_pallas, tiles_x=tiles_x,
                              capacity=capacity, row0=0, nrows=tiles_y))
-    res["expand_instances"], (tile, gid, total, ovf) = timeit(
+    res["expand_instances"], (tile, gid, total, ovf, _govf) = timeit(
         expand, pg, depth_order=dorder)
     expand_x = jax.jit(partial(binning.expand_instances, tiles_x=tiles_x,
                                capacity=capacity, row0=0, nrows=tiles_y))

@@ -137,15 +137,22 @@ def run_interactive(
         if not dirty:
             continue
         t0 = time.time()
-        profiled = profile_every and frames % profile_every == 0 and hasattr(
-            session, "draw_profiled")
+        # Sample on the LAST frame of each window, never frame 0: a profiled
+        # first frame would pay three extra stage-path compiles before
+        # anything is displayed (ADVICE r4).
+        profiled = (profile_every
+                    and frames % profile_every == profile_every - 1
+                    and hasattr(session, "draw_profiled"))
         if profiled:
             img, aux, stage_ms = session.draw_profiled()
         else:
             img, aux = session.draw()
         np.asarray(img[0, 0])  # host fence (tunneled block_until_ready no-op)
         dt_ms = (time.time() - t0) * 1e3
-        ema_ms = dt_ms if ema_ms is None else 0.8 * ema_ms + 0.2 * dt_ms
+        if profiled and ema_ms is not None:
+            pass  # fence-inflated profiled frames don't feed the fps EMA
+        else:
+            ema_ms = dt_ms if ema_ms is None else 0.8 * ema_ms + 0.2 * dt_ms
         frames += 1
         dirty = False
         if show_image:

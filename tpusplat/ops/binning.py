@@ -105,6 +105,10 @@ class BinnedInstances:
     tile_end: jax.Array  # [T] int32
     num_instances: jax.Array  # scalar int32 (valid, pre-clamp)
     overflow: jax.Array  # scalar int32: instances dropped due to capacity
+    # Instances dropped because the strip's compacted Gaussian stream
+    # overflowed cfg.strip_gauss_capacity — a separate channel because the
+    # recovery differs: grow strip_gauss_mult, NOT the instance capacity.
+    gauss_overflow: jax.Array  # scalar int32
 
 
 def expand_instances(
@@ -185,7 +189,8 @@ def expand_instances(
     tile = jnp.where(valid, tile, sentinel)
     gid = jnp.where(valid, rows[:, 5], n)
     overflow = jnp.maximum(total - capacity, 0)
-    return tile, gid.astype(jnp.int32), jnp.minimum(total, capacity), overflow
+    return (tile, gid.astype(jnp.int32), jnp.minimum(total, capacity),
+            overflow, jnp.zeros((), total.dtype))
 
 
 _SUB = 512  # subsample stride for the two-level boundary search
@@ -240,7 +245,13 @@ def bin_and_sort(
         capacity = cfg.instance_capacity(pg.ntiles.shape[0])
 
     n = pg.ntiles.shape[0]
-    use_pallas_exp = cfg.use_pallas and n < 2**24 and capacity < 2**24
+    # Route to the Pallas emission kernel only inside its exactness bounds:
+    # integer fields < 2^24, and BOTH tile-grid axes <= 255 (x0/y0/bbh are
+    # 8-bit fields of the packed meta word; y0/bbh are bounded by tiles_y,
+    # so a > 4080-px-tall frame would silently corrupt tile ids — fall back
+    # to the XLA formulation there).
+    use_pallas_exp = (cfg.use_pallas and n < 2**24 and capacity < 2**24
+                      and tiles_x <= 255 and tiles_y <= 255)
     compact = (use_pallas_exp and gauss_capacity is not None
                and gauss_capacity < n and nrows < tiles_y)
 
@@ -268,12 +279,12 @@ def bin_and_sort(
         # ~5x faster than the XLA scatter/cummax/gather formulation below.
         from tpusplat.ops.emission import expand_instances_pallas
 
-        tile, gid, total, overflow = expand_instances_pallas(
+        tile, gid, total, overflow, gauss_ovf = expand_instances_pallas(
             pg, tiles_x, capacity, row0, nrows, depth_order,
             gauss_capacity if compact else None,
         )
     else:
-        tile, gid, total, overflow = expand_instances(
+        tile, gid, total, overflow, gauss_ovf = expand_instances(
             pg, tiles_x, capacity, row0, nrows, depth_order
         )
     tile_s, gid_s = lax.sort((tile, gid), num_keys=1, is_stable=True)
@@ -296,4 +307,5 @@ def bin_and_sort(
         tile_end=bounds[1:],
         num_instances=total.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
+        gauss_overflow=gauss_ovf.astype(jnp.int32),
     )

@@ -170,9 +170,15 @@ def expand_instances_pallas(
     """Drop-in replacement for binning.expand_instances (Pallas path).
 
     Same contract: per-slot (tile, gid) for ``capacity`` static slots in
-    depth-major emission order, plus (total, overflow). ``row0`` may be
-    traced. The kernel internally pads the slot axis to a EW*EWG multiple
-    (padded slots are invalid and sliced away).
+    depth-major emission order, plus (total, overflow, gauss_overflow).
+    ``row0`` may be traced. The kernel internally pads the slot axis to a
+    EW*EWG multiple (padded slots are invalid and sliced away).
+
+    Caller contract (checked by the router in ``binning.bin_and_sort``):
+    tiles_x <= 255 AND tiles_y <= 255 — x0/y0/bbh travel as 8-bit fields of
+    the packed meta word, and y0/bbh are bounded by the tile-row count, not
+    tiles_x. Frames taller than 255 tile rows (> 4080 px at tile_h = 16)
+    must use the XLA ``expand_instances`` path.
 
     ``gauss_capacity`` (strip compaction): when the caller's depth_order
     key marks STRIP-visible Gaussians (clipped ntiles > 0) and pushes the
@@ -181,8 +187,12 @@ def expand_instances_pallas(
     bound search, and the kernel's block walk all run at ~0.2N instead of
     N (the per-chip N-replication tax of docs/SCALING.md). Instances of
     Gaussians past the cap (only possible if the cap is too small) are
-    counted into ``overflow`` exactly like capacity overflow, so the
-    regrow machinery sees them.
+    counted into ``gauss_overflow`` — a SEPARATE channel from instance
+    ``overflow``, because the recoveries differ: instance overflow is fixed
+    by growing ``capacity`` (cfg.capacity / capacity_mult), gauss overflow
+    only by growing ``cfg.strip_gauss_mult``. Folding them together sent
+    host regrow loops into an unbounded instance-capacity regrow that could
+    never clear a gauss-cap overflow.
     """
     n_orig = pg.ntiles.shape[0]
     cap_pad = -(-capacity // (EW * EWG)) * (EW * EWG)
@@ -282,6 +292,6 @@ def expand_instances_pallas(
         jnp.minimum(total, capacity).astype(jnp.int32).reshape(1),
         meta,
     )
-    overflow = jnp.maximum(total - capacity, 0) + gauss_dropped
+    overflow = jnp.maximum(total - capacity, 0)
     return (tile2d[0, :capacity], gid2d[0, :capacity],
-            jnp.minimum(total, capacity), overflow)
+            jnp.minimum(total, capacity), overflow, gauss_dropped)

@@ -720,9 +720,24 @@ GPAD = 16  # slab rows: GROWS padded to the f32 (8, 128) sublane tiling
 SEGG = 8  # segments per segment-reduce program (head-prefetch group)
 
 
+def _seg_win(rows: int, n_pad: int) -> int:
+    """Segment-reduce DMA window, adaptive to occupancy.
+
+    The reduce streams >= 1 window per GB-id segment, so at low occupancy
+    (strip mode: ~100 rows/segment) the cost is window-alignment waste and
+    a small window wins, while at high occupancy (full frame: ~770
+    rows/segment) fewer, larger DMAs win. v5e measurements at garden scale
+    (docs/MICRO_r05.md): strip 6.9 ms @1024 -> 2.8 @256; full frame 8.4
+    @1024 vs 10.2 @256. Rule: ~1.5x expected occupancy, clamped to a
+    128-multiple in [128, 1024].
+    """
+    occ = max(1, rows * GB // max(n_pad, 1))
+    return min(1024, max(128, -(-3 * occ // 256) * 128))
+
+
 def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
                            head_g, head_i, roll_g, roll_i,
-                           hgsem, hisem, rgsem, risem, *, n_real):
+                           hgsem, hisem, rgsem, risem, *, n_real, win):
     """Sum gid-sorted gradient rows per Gaussian — without a single scatter.
 
     Each program owns SEGG segments of GB Gaussian ids; segment s covers
@@ -752,15 +767,15 @@ def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
 
     def issue(g_dst, i_dst, g_sem, i_sem, off):
         pltpu.make_async_copy(
-            grad_hbm.at[:, pl.ds(off, WIN)], g_dst, g_sem).start()
+            grad_hbm.at[:, pl.ds(off, win)], g_dst, g_sem).start()
         pltpu.make_async_copy(
-            gid_hbm.at[:, pl.ds(off, WIN)], i_dst, i_sem).start()
+            gid_hbm.at[:, pl.ds(off, win)], i_dst, i_sem).start()
 
     def wait(g_dst, i_dst, g_sem, i_sem, off):
         pltpu.make_async_copy(
-            grad_hbm.at[:, pl.ds(off, WIN)], g_dst, g_sem).wait()
+            grad_hbm.at[:, pl.ds(off, win)], g_dst, g_sem).wait()
         pltpu.make_async_copy(
-            gid_hbm.at[:, pl.ds(off, WIN)], i_dst, i_sem).wait()
+            gid_hbm.at[:, pl.ds(off, win)], i_dst, i_sem).wait()
 
     # Issue every segment's first window (cross-segment latency overlap).
     for j in range(SEGG):
@@ -770,7 +785,7 @@ def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
     for j in range(SEGG):
         s, hi, a_lo = info(j)
         g0 = s * GB
-        nwin = pl.cdiv(hi - a_lo, WIN)
+        nwin = pl.cdiv(hi - a_lo, win)
         targets_col = g0 + lax.broadcasted_iota(jnp.int32, (GB, 1), 0)  # [GB, 1]
         hi_id = jnp.minimum(g0 + GB, n_real)
 
@@ -800,7 +815,7 @@ def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
         @pl.when(nwin >= 2)
         def _():
             issue(roll_g.at[0], roll_i.at[0], rgsem.at[0], risem.at[0],
-                  a_lo + WIN)
+                  a_lo + win)
 
         acc = reduce_window(head_g[j], head_i[j],
                             jnp.zeros((GPAD, GB), jnp.float32))
@@ -808,7 +823,7 @@ def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
         def wbody(state):
             w, acc = state
             slot = lax.rem(w - 1, 2)
-            off = a_lo + w * WIN
+            off = a_lo + w * win
             wait(roll_g.at[slot], roll_i.at[slot],
                  rgsem.at[slot], risem.at[slot], off)
 
@@ -816,7 +831,7 @@ def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
             def _():
                 nxt = lax.rem(w, 2)
                 issue(roll_g.at[nxt], roll_i.at[nxt],
-                      rgsem.at[nxt], risem.at[nxt], off + WIN)
+                      rgsem.at[nxt], risem.at[nxt], off + win)
 
             return w + 1, reduce_window(roll_g[slot], roll_i[slot], acc)
 
@@ -826,12 +841,16 @@ def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
         out_ref[:, j * GB:(j + 1) * GB] = acc
 
 
-def _run_segment_reduce(grad, gid, bounds, n_pad, n_real):
-    """grad [GPAD, C + WIN] (gid-sorted rows, 9 live + pad), gid
-    [1, C + WIN] int32, bounds [n_pad//GB + 1] int32 -> per-Gaussian sums
+def _run_segment_reduce(grad, gid, bounds, n_pad, n_real, win=WIN):
+    """grad [GPAD, C + win] (gid-sorted rows, 9 live + pad), gid
+    [1, C + win] int32, bounds [n_pad//GB + 1] int32 -> per-Gaussian sums
     [GPAD, n_pad] (n_pad a multiple of GB*SEGG). Sublane dims are GPAD (not
     GROWS): DMA slices must respect the f32 (8, 128) tiling on real
-    hardware."""
+    hardware.
+
+    ``win`` (a 128-multiple): rows streamed per DMA window — callers pick
+    it with :func:`_seg_win` (occupancy-adaptive; measured on v5e, garden
+    strip scale: 6.9 ms at 1024 -> 2.8 at 256, docs/MICRO_r05.md)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // (GB * SEGG),),
@@ -843,10 +862,10 @@ def _run_segment_reduce(grad, gid, bounds, n_pad, n_real):
             (GPAD, GB * SEGG), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((SEGG, GPAD, WIN), jnp.float32),
-            pltpu.VMEM((SEGG, 1, WIN), jnp.int32),
-            pltpu.VMEM((2, GPAD, WIN), jnp.float32),
-            pltpu.VMEM((2, 1, WIN), jnp.int32),
+            pltpu.VMEM((SEGG, GPAD, win), jnp.float32),
+            pltpu.VMEM((SEGG, 1, win), jnp.int32),
+            pltpu.VMEM((2, GPAD, win), jnp.float32),
+            pltpu.VMEM((2, 1, win), jnp.int32),
             pltpu.SemaphoreType.DMA((SEGG,)),
             pltpu.SemaphoreType.DMA((SEGG,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -854,7 +873,7 @@ def _run_segment_reduce(grad, gid, bounds, n_pad, n_real):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_segment_reduce_kernel, n_real=n_real),
+        functools.partial(_segment_reduce_kernel, n_real=n_real, win=win),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((GPAD, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -906,9 +925,11 @@ def _pack_gather_bwd(res, d_attr):
     search = searchsorted_left_big if c % _SUB == 0 else searchsorted_left
     bounds = search(gid_s, qs)
 
-    grad = jnp.pad(grad, ((0, GPAD - GROWS), (0, WIN)))
-    gid2d = jnp.pad(gid_s[None, :], ((0, 0), (0, WIN)), constant_values=-1)
-    g_sum = _run_segment_reduce(grad, gid2d, bounds, n_pad, n)  # [GPAD, n_pad]
+    win = _seg_win(c, n_pad)
+    grad = jnp.pad(grad, ((0, GPAD - GROWS), (0, win)))
+    gid2d = jnp.pad(gid_s[None, :], ((0, 0), (0, win)), constant_values=-1)
+    g_sum = _run_segment_reduce(grad, gid2d, bounds, n_pad, n,
+                                win=win)  # [GPAD, n_pad]
 
     d_table = jnp.transpose(g_sum[:, :n], (1, 0))  # [N, GPAD == ATTR_W]
     return d_table, None
@@ -981,6 +1002,7 @@ def rasterize_pallas(
         transmittance=tmap,
         tile_overflow=jnp.zeros((), jnp.int32),  # kernel streams true ranges
         capacity_overflow=binned.overflow,
+        gauss_overflow=binned.gauss_overflow,
         num_instances=binned.num_instances,
         max_tile_count=jnp.max(counts),
     )

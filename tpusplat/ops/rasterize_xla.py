@@ -169,6 +169,7 @@ def rasterize_xla(
         transmittance=tmap,
         tile_overflow=tile_overflow,
         capacity_overflow=binned.overflow,
+        gauss_overflow=binned.gauss_overflow,
         num_instances=binned.num_instances,
     )
     return img, aux

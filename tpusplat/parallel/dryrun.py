@@ -69,12 +69,13 @@ def run_dryrun(n_devices: int) -> None:
 
         # 1. Sharded render equals the single-device render (the correctness
         #    keystone — certifies the collective layout, not just liveness).
-        img_sh, overflow, tile_ovf = jax.jit(
+        img_sh, overflow, tile_ovf, gauss_ovf = jax.jit(
             render_sharded, static_argnames=("cfg", "mesh")
         )(jax.device_put(params, pshard), cams_sh, cfg, mesh)
         img_sh = np.asarray(img_sh)
         assert int(np.asarray(overflow).sum()) == 0, "capacity overflow in dryrun"
         assert int(np.asarray(tile_ovf).sum()) == 0, "tile overflow in dryrun"
+        assert int(np.asarray(gauss_ovf).sum()) == 0, "gauss-cap overflow in dryrun"
         for b in range(batch):
             cam_b = jax.tree_util.tree_map(lambda x: x[b], cams)
             ref, _ = render_stages(params, cam_b, cfg)

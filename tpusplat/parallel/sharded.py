@@ -104,8 +104,11 @@ def _shard_render_body(
         # tile_overflow: instances silently dropped past max_per_tile in
         # the XLA path (the Pallas kernel streams true ranges -> 0). Must
         # be surfaced, not swallowed: a dense tile losing contributions
-        # with no signal corrupts training undetectably.
-        return img, aux["capacity_overflow"], aux["tile_overflow"]
+        # with no signal corrupts training undetectably. gauss_overflow is
+        # the strip-compaction cap (separate channel: its recovery is
+        # growing strip_gauss_mult, not the instance capacity).
+        return (img, aux["capacity_overflow"], aux["tile_overflow"],
+                aux["gauss_overflow"])
 
     # lax.map (not vmap): pallas_call doesn't batch, and the per-camera
     # work is large enough that sequencing costs nothing.
@@ -191,12 +194,13 @@ def render_sharded(
     cap_shard = cfg.instance_capacity(max(n // n_tile, 1))
 
     def body(p_shard: GaussianParams, cam: Camera):
-        strip, overflow, tile_ovf = _shard_render_body(
+        strip, overflow, tile_ovf, gauss_ovf = _shard_render_body(
             p_shard, cam, cfg, width, height, nrows, cap_shard
         )
-        return strip, jnp.sum(overflow)[None], jnp.sum(tile_ovf)[None]
+        return (strip, jnp.sum(overflow)[None], jnp.sum(tile_ovf)[None],
+                jnp.sum(gauss_ovf)[None])
 
-    strips, overflow, tile_ovf = jax.shard_map(
+    strips, overflow, tile_ovf, gauss_ovf = jax.shard_map(
         body,
         mesh=mesh,
         # The rasterizer's scan carries are created inside the mapped body
@@ -226,10 +230,11 @@ def render_sharded(
             P("data", "tile", None, None),
             P(("data", "tile")),
             P(("data", "tile")),
+            P(("data", "tile")),
         ),
     )(params, cameras)
     # strips: [B, S*nrows*tile_h, W, 3]; crop the tile padding.
-    return strips[:, :height], overflow, tile_ovf
+    return strips[:, :height], overflow, tile_ovf, gauss_ovf
 
 
 @partial(
@@ -254,12 +259,13 @@ def sharded_train_step(
     trainable, alive = split_trainable(state.params)
 
     def loss_fn(tr):
-        img, overflow, tile_ovf = render_sharded(
+        img, overflow, tile_ovf, gauss_ovf = render_sharded(
             merge_trainable(tr, alive), cameras, cfg, mesh
         )
-        return gs_loss(img, targets, ssim_weight), (overflow, tile_ovf)
+        return gs_loss(img, targets, ssim_weight), (overflow, tile_ovf,
+                                                    gauss_ovf)
 
-    (loss, (overflow, tile_ovf)), grads = jax.value_and_grad(
+    (loss, (overflow, tile_ovf, gauss_ovf)), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(trainable)
     updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
@@ -269,7 +275,7 @@ def sharded_train_step(
     # regrows capacity and retries from the unchanged (donated-in-place)
     # state, matching the reference's retry semantics
     # (src/Renderer.cpp:541-563).
-    ok = jnp.sum(overflow) == 0
+    ok = (jnp.sum(overflow) + jnp.sum(gauss_ovf)) == 0
     keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
         lambda a, b: jnp.where(ok, a, b), new, old
     )
@@ -280,7 +286,8 @@ def sharded_train_step(
         step=state.step + jnp.where(ok, 1, 0),
     )
     return state, dict(
-        loss=loss, capacity_overflow=overflow, tile_overflow=tile_ovf
+        loss=loss, capacity_overflow=overflow, tile_overflow=tile_ovf,
+        gauss_overflow=gauss_ovf,
     )
 
 
@@ -334,16 +341,16 @@ def sharded_train_step_overlap(
         row0_px = lax.axis_index("tile") * nrows * cfg.tile_h
 
         def loss_fn(tr):
-            strips, ovf, tovf = _shard_render_body(
+            strips, ovf, tovf, govf = _shard_render_body(
                 merge_trainable(tr, alv), cam, cfg, width, height, nrows,
                 cap_shard,
             )
             loss_local = _strip_loss_local(
                 strips, tgt, row0_px, total_rows_px, height, width, ssim_weight
             )
-            return loss_local, (jnp.sum(ovf), jnp.sum(tovf))
+            return loss_local, (jnp.sum(ovf), jnp.sum(tovf), jnp.sum(govf))
 
-        (loss_local, (ovf, tovf)), g = jax.value_and_grad(
+        (loss_local, (ovf, tovf, govf)), g = jax.value_and_grad(
             loss_fn, has_aux=True
         )(tr)
         # g is already reduced over 'tile' (all_gather transpose inside
@@ -355,7 +362,8 @@ def sharded_train_step_overlap(
         loss = lax.psum(loss_local, ("data", "tile")) + ssim_weight
         ovf = lax.psum(ovf, ("data", "tile"))
         tovf = lax.psum(tovf, ("data", "tile"))
-        return loss, ovf, tovf, g
+        govf = lax.psum(govf, ("data", "tile"))
+        return loss, ovf, tovf, govf, g
 
     pspec = {
         "means": P("tile", None),
@@ -364,7 +372,7 @@ def sharded_train_step_overlap(
         "opacities": P("tile"),
         "sh": P("tile", None, None),
     }
-    loss, overflow, tile_ovf, grads = jax.shard_map(
+    loss, overflow, tile_ovf, gauss_ovf, grads = jax.shard_map(
         body,
         mesh=mesh,
         check_vma=False,
@@ -382,12 +390,12 @@ def sharded_train_step_overlap(
             ),
             P("data", None, None, None),
         ),
-        out_specs=(P(), P(), P(), pspec),
+        out_specs=(P(), P(), P(), P(), pspec),
     )(trainable, alive, cameras, targets)
 
     updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
     params = merge_trainable(optax.apply_updates(trainable, updates), alive)
-    ok = overflow == 0
+    ok = (overflow + gauss_ovf) == 0
     keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
         lambda a, b: jnp.where(ok, a, b), new, old
     )
@@ -398,5 +406,6 @@ def sharded_train_step_overlap(
         step=state.step + jnp.where(ok, 1, 0),
     )
     return state, dict(
-        loss=loss, capacity_overflow=overflow, tile_overflow=tile_ovf
+        loss=loss, capacity_overflow=overflow, tile_overflow=tile_ovf,
+        gauss_overflow=gauss_ovf,
     )

@@ -67,6 +67,19 @@ def ssim(img: jax.Array, target: jax.Array, size: int = 11, sigma: float = 1.5) 
     return jnp.mean(ssim_map(img, target, size, sigma))
 
 
+def psnr(img: jax.Array, target: jax.Array) -> jax.Array:
+    """Peak signal-to-noise ratio in dB for [0, 1]-range images.
+
+    The held-out image-quality metric (the number that proves training
+    produced a scene worth viewing — the reference's whole input contract
+    is a well-trained .ply, ``src/GSScene.cpp:26-68``). A loss delta can
+    improve while render quality regresses (opacity collapse,
+    over-densification); PSNR on held-out views cannot.
+    """
+    mse = jnp.mean((img - target) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
 def gs_loss(img: jax.Array, target: jax.Array, ssim_weight: float = 0.2) -> jax.Array:
     """(1 - w) * L1 + w * (1 - SSIM), the 3DGS photometric objective."""
     return (1.0 - ssim_weight) * l1_loss(img, target) + ssim_weight * (

@@ -117,7 +117,7 @@ def train_step(
     # and retries (src/Renderer.cpp:541-563, goto at 383). Here the update is
     # gated to a no-op so the host loop can regrow capacity and retry from an
     # unchanged state, however lazily it polls the overflow counter.
-    ok = aux["capacity_overflow"] == 0
+    ok = (aux["capacity_overflow"] + aux["gauss_overflow"]) == 0
     keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
         lambda a, b: jnp.where(ok, a, b), new, old
     )
@@ -138,6 +138,10 @@ def train_step(
         loss=loss,
         num_instances=aux["num_instances"],
         capacity_overflow=aux["capacity_overflow"],
+        # Strip-compaction overflow (0 outside tile-sharded strip mode):
+        # reported separately so regrow logic grows strip_gauss_mult, not
+        # the instance capacity (ADVICE r4).
+        gauss_overflow=aux["gauss_overflow"],
     )
     state = TrainState(
         params=params,
