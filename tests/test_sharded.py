@@ -35,12 +35,12 @@ def test_sharded_render_matches_single_device():
     params, cams, cfg = _setup()
     mesh = make_render_mesh(data=2, tile=4)
 
-    img_sharded, overflow, tile_ovf, _ = jax.jit(
+    img_sharded, counters = jax.jit(
         render_sharded, static_argnames=("cfg", "mesh")
     )(params, cams, cfg, mesh)
     img_sharded = np.asarray(img_sharded)
-    assert int(np.asarray(overflow).sum()) == 0
-    assert int(np.asarray(tile_ovf).sum()) == 0
+    assert int(np.asarray(counters["capacity_overflow"]).sum()) == 0
+    assert int(np.asarray(counters["tile_overflow"]).sum()) == 0
 
     # Single-device reference: render each camera separately.
     for b in range(cams.view.shape[0]):
@@ -55,7 +55,7 @@ def test_sharded_render_matches_single_device():
 def test_sharded_render_tile_only_mesh():
     params, cams, cfg = _setup(batch=1)
     mesh = make_render_mesh(data=1, tile=8)
-    img, _, _, _ = jax.jit(render_sharded, static_argnames=("cfg", "mesh"))(
+    img, _ = jax.jit(render_sharded, static_argnames=("cfg", "mesh"))(
         params, cams, cfg, mesh
     )
     cam0 = jax.tree_util.tree_map(lambda x: x[0], cams)
@@ -142,11 +142,11 @@ def test_sharded_render_pallas_matches_single_device():
     params, cams, cfg = _setup(batch=2)
     cfg_pl = dc.replace(cfg, use_pallas=True)
     mesh = make_render_mesh(data=2, tile=4)
-    img_sharded, overflow, _, _ = jax.jit(
+    img_sharded, counters = jax.jit(
         render_sharded, static_argnames=("cfg", "mesh")
     )(params, cams, cfg_pl, mesh)
     img_sharded = np.asarray(img_sharded)
-    assert int(np.asarray(overflow).sum()) == 0
+    assert int(np.asarray(counters["capacity_overflow"]).sum()) == 0
     for b in range(2):
         cam_b = jax.tree_util.tree_map(lambda x: x[b], cams)
         ref, _ = render_stages(params, cam_b, cfg)
@@ -165,10 +165,10 @@ def test_sharded_tile_overflow_reported():
     params, cams, cfg = _setup(batch=2)
     cfg_tiny = dc.replace(cfg, max_per_tile=1)
     mesh = make_render_mesh(data=2, tile=4)
-    _, _, tile_ovf, _ = jax.jit(render_sharded, static_argnames=("cfg", "mesh"))(
+    _, counters = jax.jit(render_sharded, static_argnames=("cfg", "mesh"))(
         params, cams, cfg_tiny, mesh
     )
-    assert int(np.asarray(tile_ovf).sum()) > 0
+    assert int(np.asarray(counters["tile_overflow"]).sum()) > 0
 
     rng = np.random.default_rng(0)
     h, w = cams.height, cams.width

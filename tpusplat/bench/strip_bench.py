@@ -136,6 +136,71 @@ def main():
     res["strip_ms_max"] = max(strip_ms)
     res["strip_ms_mean"] = round(sum(strip_ms) / len(strip_ms), 2)
 
+    # --- 2a. PRODUCTION-precision variant (mm_precision="default": one
+    # bf16 MXU pass in the blend kernels, gate-bounded ~0.5% error —
+    # TPU_GATE production block). The headline 8-chip number must be a
+    # hardware measurement end-to-end, not a paper -13% (VERDICT r4 #2).
+    import dataclasses as _dc
+
+    cfg_prod = _dc.replace(cfg, mm_precision="default")
+
+    def strip_loss_prod(tr, row0):
+        p = merge_trainable(tr, alive)
+        pg = preprocess(p, cam, cfg_prod)
+        binned = bin_and_sort(pg, w, h, cfg_prod, row0, nrows, cap_strip,
+                              gauss_capacity=gcap)
+        img, aux = rasterize_pallas(pg, binned, w, h, cfg_prod, row0, nrows)
+        return jnp.sum(img * img), (aux["num_instances"],
+                                    aux["capacity_overflow"])
+
+    grad_prod = jax.jit(jax.grad(strip_loss_prod, has_aux=True))
+    prod_ms = []
+    for s in range(shards):
+        row0 = jnp.asarray(s * nrows, jnp.int32)
+        t, (_, (_, ovf)) = timeit(grad_prod, trainable, row0, iters=12)
+        assert int(ovf) == 0
+        prod_ms.append(round(max(t, 0.0), 2))
+    res["strip_fwd_bwd_production_ms"] = prod_ms
+    res["strip_production_ms_max"] = max(prod_ms)
+
+    # --- 2b. compact-gradient exchange variant (grad_exchange="compact",
+    # parallel/compact_grad.py): single-chip cost emulation — identical
+    # per-stage shapes/compute to the real all_to_all path, collectives
+    # replaced by identity and modeled from byte volumes below. The dense
+    # loop above IS the grad_exchange="dense" per-chip cost (its backward
+    # reduces a dense [16, N] table).
+    from tpusplat.parallel.compact_grad import (
+        CompactStatic, a2a_bucket_cap, exchange_render_emulated,
+        pack_exchange_table,
+    )
+
+    if gcap is not None:
+        st = CompactStatic(
+            cfg=cfg, width=w, height=h, nrows=nrows, cap_shard=cap_strip,
+            gcap=gcap, n_total=n, n_local=n // shards, n_shards=shards,
+            axis=None)
+
+        def strip_loss_c(tr, row0f):
+            p = merge_trainable(tr, alive)
+            pg = preprocess(p, cam, cfg)
+            table = pack_exchange_table(pg)[None]  # [1, N, 16] "gathered"
+            img, counters = exchange_render_emulated(table, row0f, st)
+            return jnp.sum(img * img), (counters["capacity_overflow"],
+                                        counters["a2a_overflow"])
+
+        grad_c = jax.jit(jax.grad(strip_loss_c, has_aux=True))
+        compact_ms = []
+        for s in range(shards):
+            row0f = jnp.asarray(s * nrows, jnp.float32)
+            t, (_, (ovf, a2a)) = timeit(grad_c, trainable, row0f, iters=12)
+            assert int(np.sum(np.asarray(ovf))) == 0, f"strip {s} overflow"
+            assert int(np.sum(np.asarray(a2a))) == 0, (
+                f"strip {s} a2a bucket overflow — raise grad_a2a_mult")
+            compact_ms.append(round(max(t, 0.0), 2))
+        res["a2a_bucket_cap"] = a2a_bucket_cap(st)
+        res["strip_fwd_bwd_compact_ms"] = compact_ms
+        res["strip_compact_ms_max"] = max(compact_ms)
+
     # NOTE: this full-pipeline-per-strip measurement INCLUDES the full-N
     # preprocess + depth argsort + emission prep each strip would NOT
     # repeat... they would: each chip preprocesses N/8 then all-gathers,
@@ -175,21 +240,38 @@ def main():
     # preprocess) critical path + comm. ICI effective bandwidth is the one
     # non-measured input: v5e datasheet 1,600 Gbps/chip; report 50%..100%
     # efficiency (100..200 GB/s).
-    pipe_ms = res["strip_ms_max"] - t_pre_full + res["t_preprocess_shard_ms"]
     mpix = w * h / 1e6
-    proj = {}
-    for eff_gbps, label in ((100.0, "ici_50pct"), (200.0, "ici_100pct")):
-        comm_ms = (ag_bytes + rs_bytes) / (eff_gbps * 1e6)
-        frame_ms = pipe_ms + comm_ms
-        proj[label] = {
-            "comm_ms": round(comm_ms, 2),
-            "frame_ms": round(frame_ms, 2),
-            "mpix_per_s": round(mpix / frame_ms * 1e3, 1),
-            "scaling_eff_vs_1chip": round(
-                t_full / (shards * frame_ms), 3),
-        }
-    res["projection_v5e8"] = proj
+
+    def project(strip_max_ms, bwd_bytes):
+        pipe = strip_max_ms - t_pre_full + res["t_preprocess_shard_ms"]
+        proj = {}
+        for eff_gbps, label in ((100.0, "ici_50pct"), (200.0, "ici_100pct")):
+            comm_ms = (ag_bytes + bwd_bytes) / (eff_gbps * 1e6)
+            frame_ms = pipe + comm_ms
+            proj[label] = {
+                "comm_ms": round(comm_ms, 2),
+                "frame_ms": round(frame_ms, 2),
+                "mpix_per_s": round(mpix / frame_ms * 1e3, 1),
+                "scaling_eff_vs_1chip": round(
+                    t_full / (shards * frame_ms), 3),
+            }
+        return pipe, proj
+
+    pipe_ms, res["projection_v5e8"] = project(res["strip_ms_max"], rs_bytes)
     res["pipe_ms_per_chip"] = round(pipe_ms, 2)
+    if "strip_production_ms_max" in res:
+        pipe_p, res["projection_v5e8_production"] = project(
+            res["strip_production_ms_max"], rs_bytes)
+        res["pipe_ms_per_chip_production"] = round(pipe_p, 2)
+    if "strip_compact_ms_max" in res:
+        # Compact exchange replaces the dense psum-scatter with per-chip
+        # all_to_all sends of (S-1) buckets of 16 f32 rows + ids.
+        cap_b = res["a2a_bucket_cap"]
+        a2a_bytes = (16 + 1) * cap_b * 4 * (shards - 1)
+        pipe_c, res["projection_v5e8_compact"] = project(
+            res["strip_compact_ms_max"], a2a_bytes)
+        res["pipe_ms_per_chip_compact"] = round(pipe_c, 2)
+        res["a2a_mbytes"] = round(a2a_bytes / 1e6, 1)
     # Viewer-mode projection: fwd-only needs the all-gather but no
     # gradient scatter-back.
     fwd_pipe = (res["strip_fwd_only_ms_max"] - t_pre_full

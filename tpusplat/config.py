@@ -104,6 +104,26 @@ class RenderConfig:
     # regrow, raise strip_gauss_mult (or set 0 to disable compaction).
     strip_gauss_mult: float = 2.0
     strip_gauss_margin_rows: int = 4
+    # Gradient exchange for tile-sharded training (parallel/sharded.py):
+    # "dense" (default) backprops the attribute all_gather, whose
+    # transpose psum-scatters dense [N, ...] gradients; "compact" routes
+    # them through the compact all-to-all exchange
+    # (parallel/compact_grad.py) — each chip reduces only over its
+    # compacted Gaussian stream and exchanges (gauss_id, grad-row)
+    # buckets to the owning shards, so no chip materializes dense [N]
+    # gradients. Hardware verdict (v5e, garden strip scale,
+    # docs/SCALING.md): the occupancy-adaptive segment-reduce window cut
+    # the dense reduce 7.2 -> 2.7 ms, after which compact's extra stages
+    # (stream sort + owner-side multi-block reduce, ~3 ms irreducible)
+    # make it a measured net LOSS of ~4-7 ms/strip — dense is the
+    # production default; compact remains available, tested equal, and
+    # may pay on comm-constrained (DCN) topologies.
+    grad_exchange: str = "dense"
+    # All-to-all bucket capacity per destination shard, as a multiple of
+    # the even split gauss_capacity/S (rounded to 256, capped at N/S which
+    # is always sufficient since ids are unique). Overflow is counted in
+    # the fwd pass into the gauss/a2a overflow channel and gates the step.
+    grad_a2a_mult: float = 1.3
 
     def __post_init__(self):
         # A typo like MM_PRECISION=Highest must not silently degrade to the
@@ -115,6 +135,11 @@ class RenderConfig:
             )
         if self.color_clamp not in ("red", "all", "none"):
             raise ValueError(f"unknown color_clamp {self.color_clamp!r}")
+        if self.grad_exchange not in ("dense", "compact"):
+            raise ValueError(
+                f"grad_exchange must be 'dense' or 'compact', got "
+                f"{self.grad_exchange!r}"
+            )
 
     def instance_capacity(self, num_gaussians: int) -> int:
         cap = self.capacity if self.capacity is not None else int(

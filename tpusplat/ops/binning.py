@@ -109,6 +109,12 @@ class BinnedInstances:
     # overflowed cfg.strip_gauss_capacity — a separate channel because the
     # recovery differs: grow strip_gauss_mult, NOT the instance capacity.
     gauss_overflow: jax.Array  # scalar int32
+    # Strip-compaction stream (compact mode only, else None): the global
+    # gaussian ids of the strip's depth-ordered compacted stream
+    # ([gauss_capacity] int32; entries past the visible count are the
+    # sentinel N). The compact-gradient exchange keys its all-to-all
+    # bucketing on this (parallel/compact_grad.py).
+    stream_ids: jax.Array | None = None
 
 
 def expand_instances(
@@ -217,6 +223,18 @@ def searchsorted_left_big(a: jax.Array, v: jax.Array) -> jax.Array:
     return b * _SUB + cnt
 
 
+def pallas_emission_ok(cfg: RenderConfig, n: int, capacity: int,
+                       tiles_x: int, tiles_y: int) -> bool:
+    """Whether the Pallas emission kernel's exactness bounds hold: integer
+    fields < 2^24, and BOTH tile-grid axes <= 255 (x0/y0/bbh are 8-bit
+    fields of the packed meta word; y0/bbh are bounded by tiles_y, so a
+    > 4080-px-tall frame would silently corrupt tile ids — the XLA
+    formulation is used there). Also the prerequisite for strip compaction
+    and the compact-gradient exchange (parallel/compact_grad.py)."""
+    return (cfg.use_pallas and n < 2**24 and capacity < 2**24
+            and tiles_x <= 255 and tiles_y <= 255)
+
+
 def bin_and_sort(
     pg: ProcessedGaussians,
     width: int,
@@ -245,13 +263,7 @@ def bin_and_sort(
         capacity = cfg.instance_capacity(pg.ntiles.shape[0])
 
     n = pg.ntiles.shape[0]
-    # Route to the Pallas emission kernel only inside its exactness bounds:
-    # integer fields < 2^24, and BOTH tile-grid axes <= 255 (x0/y0/bbh are
-    # 8-bit fields of the packed meta word; y0/bbh are bounded by tiles_y,
-    # so a > 4080-px-tall frame would silently corrupt tile ids — fall back
-    # to the XLA formulation there).
-    use_pallas_exp = (cfg.use_pallas and n < 2**24 and capacity < 2**24
-                      and tiles_x <= 255 and tiles_y <= 255)
+    use_pallas_exp = pallas_emission_ok(cfg, n, capacity, tiles_x, tiles_y)
     compact = (use_pallas_exp and gauss_capacity is not None
                and gauss_capacity < n and nrows < tiles_y)
 
@@ -273,6 +285,18 @@ def bin_and_sort(
         jnp.where(vis, pg.depth, jnp.float32(jnp.inf))
     )
     depth_order = jnp.argsort(depth_key, stable=True)
+
+    stream_ids = None
+    if compact:
+        # Stable argsort puts all finite-key (strip-visible) Gaussians
+        # first, so order[:gcap] is the compacted stream; entries past the
+        # visible count are arbitrary invisible ids — masked to the
+        # sentinel N so downstream consumers (the compact-gradient
+        # exchange) can skip them.
+        n_vis = jnp.sum(vis.astype(jnp.int32))
+        stream_ids = jnp.where(
+            lax.iota(jnp.int32, gauss_capacity) < n_vis,
+            depth_order[:gauss_capacity].astype(jnp.int32), jnp.int32(n))
 
     if use_pallas_exp:
         # Streaming Pallas emission (ops/emission.py): identical outputs,
@@ -308,4 +332,5 @@ def bin_and_sort(
         num_instances=total.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
         gauss_overflow=gauss_ovf.astype(jnp.int32),
+        stream_ids=stream_ids,
     )

@@ -735,35 +735,49 @@ def _seg_win(rows: int, n_pad: int) -> int:
     return min(1024, max(128, -(-3 * occ // 256) * 128))
 
 
-def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
-                           head_g, head_i, roll_g, roll_i,
-                           hgsem, hisem, rgsem, risem, *, n_real, win):
-    """Sum gid-sorted gradient rows per Gaussian — without a single scatter.
+def _segment_reduce_kernel(lo_ref, hi_ref, *refs, n_real, win, rps,
+                           stream_targets):
+    """Sum id-keyed gradient rows per target id — without a single scatter.
 
-    Each program owns SEGG segments of GB Gaussian ids; segment s covers
-    ids [s*GB, (s+1)*GB), whose rows form one contiguous range of the
-    gid-sorted gradient slab (bounds = searchsorted of the sorted ids at GB
-    multiples). Each WIN-window of rows is reduced onto the segment's
-    [GROWS, GB] accumulator by one MXU matmul against a 0/1 selection
-    matrix built from the per-row gaussian ids — the TPU answer to CUDA's
-    atomicAdd gradient accumulation (SURVEY.md §7 hard part 2). Sentinel
-    ids (== N, from capacity padding) exceed every segment's targets and
-    are zeroed by the in-range mask.
+    Each program owns SEGG output segments of GB target ids. A segment's
+    rows live in ``rps`` contiguous ranges of the row slab (``rps`` = 1 for
+    the gid-sorted dense/compact reduce; ``rps`` = S for the owner-side
+    reduce of S independently-sorted all_to_all blocks). Each ``win``-row
+    window of a range is reduced onto the segment's [GPAD, GB] accumulator
+    by one MXU matmul against a 0/1 selection matrix built from the
+    per-row ids — the TPU answer to CUDA's atomicAdd gradient accumulation
+    (SURVEY.md §7 hard part 2).
 
-    DMA pipeline (segments average ~1.3 windows at garden scale, so the
-    previous one-segment-per-program start/wait sequence was latency-bound):
-    every segment's first window is issued up front, and multi-window
-    segments double-buffer through two rolling slots — the same scheme as
-    the forward blend kernel.
+    Targets are either the dense iota ``s*GB + i`` (``stream_targets``
+    False — the per-Gaussian reduce of the single-chip VJP) or an
+    arbitrary non-decreasing-per-range id list streamed as an input
+    (``stream_targets`` True — the owner-blocked compact target list of
+    the all-to-all gradient exchange, parallel/compact_grad.py). Rows
+    whose id matches no target contribute nothing (zero selection column);
+    rows with out-of-[0, n_real) ids — capacity-padding sentinels whose
+    values are stale memory the backward kernel never wrote — are zeroed
+    with a select (0 * NaN would poison the matmul sum).
+
+    DMA pipeline: every range's first window is issued up front
+    (cross-range latency overlap), and multi-window ranges double-buffer
+    through two rolling slots — the same scheme as the forward blend
+    kernel.
     """
+    if stream_targets:
+        (targets_ref, grad_hbm, gid_hbm, out_ref, head_g, head_i,
+         roll_g, roll_i, hgsem, hisem, rgsem, risem) = refs
+    else:
+        (grad_hbm, gid_hbm, out_ref, head_g, head_i,
+         roll_g, roll_i, hgsem, hisem, rgsem, risem) = refs
     p = pl.program_id(0)
+    nranges = SEGG * rps
 
-    def info(j):
-        s = p * SEGG + j
-        lo = bounds_ref[s]
-        hi = bounds_ref[s + 1]
+    def rinfo(j):
+        r = p * nranges + j
+        lo = lo_ref[r]
+        hi = hi_ref[r]
         a_lo = (lo // ALIGN) * ALIGN
-        return s, hi, a_lo
+        return hi, a_lo
 
     def issue(g_dst, i_dst, g_sem, i_sem, off):
         pltpu.make_async_copy(
@@ -777,29 +791,27 @@ def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
         pltpu.make_async_copy(
             gid_hbm.at[:, pl.ds(off, win)], i_dst, i_sem).wait()
 
-    # Issue every segment's first window (cross-segment latency overlap).
-    for j in range(SEGG):
-        _, _, a = info(j)
+    # Issue every range's first window (cross-range latency overlap).
+    for j in range(nranges):
+        _, a = rinfo(j)
         issue(head_g.at[j], head_i.at[j], hgsem.at[j], hisem.at[j], a)
 
-    for j in range(SEGG):
-        s, hi, a_lo = info(j)
-        g0 = s * GB
-        nwin = pl.cdiv(hi - a_lo, win)
-        targets_col = g0 + lax.broadcasted_iota(jnp.int32, (GB, 1), 0)  # [GB, 1]
-        hi_id = jnp.minimum(g0 + GB, n_real)
+    for sj in range(SEGG):
+        s = p * SEGG + sj
+        if stream_targets:
+            targets_col = jnp.transpose(
+                targets_ref[0:1, pl.ds(sj * GB, GB)], (1, 0))  # [GB, 1] i32
+        else:
+            targets_col = s * GB + lax.broadcasted_iota(
+                jnp.int32, (GB, 1), 0)
 
         def reduce_window(gb, ib, acc):
-            # Selection matrix built TRANSPOSED ([GB, WIN] from the free
-            # [GB, 1] target iota against the raw [1, WIN] id row — no
+            # Selection matrix built TRANSPOSED ([GB, win] from the free
+            # [GB, 1] target column against the raw [1, win] id row — no
             # per-window relayout) and contracted dim-1 x dim-1, the same
             # orientation trick as the emission kernel's step matrix.
             sel_t = (targets_col == ib[0:1, :]).astype(jnp.float32)
-            # Rows outside this segment's id range — including sentinel ids
-            # (== n_real, capacity padding), whose values are stale memory
-            # the backward kernel never wrote — must be zeroed with a
-            # select: sel is 0 there, but 0 * NaN = NaN in the matmul sum.
-            in_range = (ib[0:1, :] >= g0) & (ib[0:1, :] < hi_id)
+            in_range = (ib[0:1, :] >= 0) & (ib[0:1, :] < n_real)
             gm = jnp.where(in_range, gb[:, :], 0.0)
             return acc + lax.dot_general(
                 gm, sel_t, (((1,), (1,)), ((), ())),
@@ -807,80 +819,144 @@ def _segment_reduce_kernel(bounds_ref, grad_hbm, gid_hbm, out_ref,
                 precision=lax.Precision.HIGHEST,
             )  # [GPAD, GB]
 
-        # Window 0 from the prefetched head slot (issued for every segment;
-        # empty/aligned-empty segments reduce a garbage window whose rows
-        # are all masked by in_range).
-        wait(head_g.at[j], head_i.at[j], hgsem.at[j], hisem.at[j], a_lo)
+        acc = jnp.zeros((GPAD, GB), jnp.float32)
+        for b in range(rps):
+            j = sj * rps + b
+            hi, a_lo = rinfo(j)
+            nwin = pl.cdiv(hi - a_lo, win)
 
-        @pl.when(nwin >= 2)
-        def _():
-            issue(roll_g.at[0], roll_i.at[0], rgsem.at[0], risem.at[0],
-                  a_lo + win)
+            # Window 0 from the prefetched head slot (issued for every
+            # range; empty ranges reduce a garbage window whose rows are
+            # all masked by in_range / zero selection).
+            wait(head_g.at[j], head_i.at[j], hgsem.at[j], hisem.at[j], a_lo)
 
-        acc = reduce_window(head_g[j], head_i[j],
-                            jnp.zeros((GPAD, GB), jnp.float32))
-
-        def wbody(state):
-            w, acc = state
-            slot = lax.rem(w - 1, 2)
-            off = a_lo + w * win
-            wait(roll_g.at[slot], roll_i.at[slot],
-                 rgsem.at[slot], risem.at[slot], off)
-
-            @pl.when(w + 1 < nwin)
+            @pl.when(nwin >= 2)
             def _():
-                nxt = lax.rem(w, 2)
-                issue(roll_g.at[nxt], roll_i.at[nxt],
-                      rgsem.at[nxt], risem.at[nxt], off + win)
+                issue(roll_g.at[0], roll_i.at[0], rgsem.at[0], risem.at[0],
+                      a_lo + win)
 
-            return w + 1, reduce_window(roll_g[slot], roll_i[slot], acc)
+            acc = reduce_window(head_g[j], head_i[j], acc)
 
-        _, acc = lax.while_loop(
-            lambda st: st[0] < nwin, wbody, (jnp.int32(1), acc)
-        )
-        out_ref[:, j * GB:(j + 1) * GB] = acc
+            def wbody(state):
+                w, acc = state
+                slot = lax.rem(w - 1, 2)
+                off = a_lo + w * win
+                wait(roll_g.at[slot], roll_i.at[slot],
+                     rgsem.at[slot], risem.at[slot], off)
+
+                @pl.when(w + 1 < nwin)
+                def _():
+                    nxt = lax.rem(w, 2)
+                    issue(roll_g.at[nxt], roll_i.at[nxt],
+                          rgsem.at[nxt], risem.at[nxt], off + win)
+
+                return w + 1, reduce_window(roll_g[slot], roll_i[slot], acc)
+
+            _, acc = lax.while_loop(
+                lambda st: st[0] < nwin, wbody, (jnp.int32(1), acc)
+            )
+        out_ref[:, sj * GB:(sj + 1) * GB] = acc
 
 
-def _run_segment_reduce(grad, gid, bounds, n_pad, n_real, win=WIN):
-    """grad [GPAD, C + win] (gid-sorted rows, 9 live + pad), gid
-    [1, C + win] int32, bounds [n_pad//GB + 1] int32 -> per-Gaussian sums
-    [GPAD, n_pad] (n_pad a multiple of GB*SEGG). Sublane dims are GPAD (not
-    GROWS): DMA slices must respect the f32 (8, 128) tiling on real
-    hardware.
+def _run_segment_reduce_general(grad, gid, lo, hi, n_pad, n_real, win,
+                                rps=1, targets=None):
+    """Generalized matmul segment reduce (see _segment_reduce_kernel).
+
+    grad [GPAD, R + win] (id-keyed rows, 9 live + pad), gid [1, R + win]
+    int32, lo/hi [(n_pad//GB) * rps] int32 absolute row ranges (rps ranges
+    per GB-target output segment), targets [1, n_pad] int32 or None (dense
+    iota) -> per-target sums [GPAD, n_pad] (n_pad a multiple of GB*SEGG).
+    Sublane dims are GPAD (not GROWS): DMA slices must respect the f32
+    (8, 128) tiling on real hardware.
 
     ``win`` (a 128-multiple): rows streamed per DMA window — callers pick
     it with :func:`_seg_win` (occupancy-adaptive; measured on v5e, garden
     strip scale: 6.9 ms at 1024 -> 2.8 at 256, docs/MICRO_r05.md)."""
+    nranges = SEGG * rps
+    stream_targets = targets is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [lo, hi]
+    if stream_targets:
+        in_specs.insert(0, pl.BlockSpec(
+            (1, GB * SEGG), lambda i, *_: (0, i), memory_space=pltpu.VMEM))
+        args.append(targets)
+    args += [grad, gid]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_pad // (GB * SEGG),),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (GPAD, GB * SEGG), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((SEGG, GPAD, win), jnp.float32),
-            pltpu.VMEM((SEGG, 1, win), jnp.int32),
+            pltpu.VMEM((nranges, GPAD, win), jnp.float32),
+            pltpu.VMEM((nranges, 1, win), jnp.int32),
             pltpu.VMEM((2, GPAD, win), jnp.float32),
             pltpu.VMEM((2, 1, win), jnp.int32),
-            pltpu.SemaphoreType.DMA((SEGG,)),
-            pltpu.SemaphoreType.DMA((SEGG,)),
+            pltpu.SemaphoreType.DMA((nranges,)),
+            pltpu.SemaphoreType.DMA((nranges,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_segment_reduce_kernel, n_real=n_real, win=win),
+        functools.partial(_segment_reduce_kernel, n_real=n_real, win=win,
+                          rps=rps, stream_targets=stream_targets),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((GPAD, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(bounds, grad, gid)
+    )(*args)
+
+
+def _run_segment_reduce(grad, gid, bounds, n_pad, n_real, win=WIN):
+    """Dense per-Gaussian reduce over gid-sorted rows: segment s owns ids
+    [s*GB, (s+1)*GB) whose rows are one contiguous range (bounds =
+    searchsorted of the sorted ids at GB multiples)."""
+    return _run_segment_reduce_general(
+        grad, gid, bounds[:-1], bounds[1:], n_pad, n_real, win)
+
+
+def _assemble_strip(out, num_tiles, nrows, tiles_x, tw, th, crop_h, width):
+    """Kernel output [t_pad, 8, npx] -> (img [crop_h, width, 3],
+    tmap [crop_h, width])."""
+    out = out[:num_tiles]
+    rgb = out[:, 0:3, :]
+    img = rgb.reshape(nrows, tiles_x, 3, th, tw)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(nrows * th, tiles_x * tw, 3)
+    img = img[:crop_h, :width]
+    tmap = out[:, 3, :].reshape(nrows, tiles_x, th, tw)
+    tmap = tmap.transpose(0, 2, 1, 3).reshape(nrows * th, tiles_x * tw)
+    tmap = tmap[:crop_h, :width]
+    return img, tmap
+
+
+def _disassemble_strip_cot(d_img, t_pad, num_tiles, nrows, tiles_x, tw, th):
+    """Transpose of _assemble_strip's image path for a full-strip cotangent
+    d_img [nrows*th, width, 3] -> [t_pad, 8, npx] (tmap cotangent zero)."""
+    h_pad, w_pad = nrows * th, tiles_x * tw
+    d = jnp.pad(d_img, ((0, 0), (0, w_pad - d_img.shape[1]), (0, 0)))
+    # inverse of transpose(0, 3, 1, 4, 2): [nrows, th, tiles_x, tw, 3] ->
+    # [nrows, tiles_x, 3, th, tw]
+    d = d.reshape(nrows, th, tiles_x, tw, 3).transpose(0, 2, 4, 1, 3)
+    d = d.reshape(num_tiles, 3, th * tw)
+    cot = jnp.zeros((t_pad, 8, th * tw), jnp.float32)
+    return cot.at[:num_tiles, 0:3, :].set(d)
+
+
+def _sort_grad_rows(d_attr, gauss_id):
+    """Re-sort the 9 live gradient rows of d_attr keyed by gaussian id —
+    measured ~3x cheaper than permuting [C, 16] rows through a gather
+    (docs/PROFILE.md micro table). Returns (gid_sorted [C], grad [GROWS, C])."""
+    c = gauss_id.shape[0]
+    cols = tuple(d_attr[k, :c] for k in range(GROWS))
+    sorted_ = lax.sort((gauss_id,) + cols, num_keys=1, is_stable=False)
+    return sorted_[0], jnp.stack(sorted_[1:])
 
 
 @jax.custom_vjp
@@ -915,10 +991,7 @@ def _pack_gather_bwd(res, d_attr):
     n, gauss_id = res
     c = gauss_id.shape[0]
 
-    cols = tuple(d_attr[k, :c] for k in range(GROWS))
-    sorted_ = lax.sort((gauss_id,) + cols, num_keys=1, is_stable=False)
-    gid_s = sorted_[0]
-    grad = jnp.stack(sorted_[1:])  # [GROWS, C]
+    gid_s, grad = _sort_grad_rows(d_attr, gauss_id)  # [C], [GROWS, C]
 
     n_pad = -(-n // (GB * SEGG)) * (GB * SEGG)
     qs = jnp.minimum(lax.iota(jnp.int32, n_pad // GB + 1) * GB, jnp.int32(n))
@@ -986,16 +1059,9 @@ def rasterize_pallas(
     starts = jnp.pad(binned.tile_start, (0, t_pad - num_tiles))
     ends = jnp.pad(binned.tile_end, (0, t_pad - num_tiles))
     out = _raster_core(attr, starts, ends, row0_arr, static)
-    out = out[:num_tiles]
-
     crop_h = height if not strip else nrows * th
-    rgb = out[:, 0:3, :]  # [T, 3, P]
-    img = rgb.reshape(nrows, tiles_x, 3, th, tw)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(nrows * th, tiles_x * tw, 3)
-    img = img[:crop_h, :width]
-    tmap = out[:, 3, :].reshape(nrows, tiles_x, th, tw)
-    tmap = tmap.transpose(0, 2, 1, 3).reshape(nrows * th, tiles_x * tw)
-    tmap = tmap[:crop_h, :width]
+    img, tmap = _assemble_strip(out, num_tiles, nrows, tiles_x, tw, th,
+                                crop_h, width)
 
     counts = binned.tile_end - binned.tile_start
     aux = dict(

@@ -69,13 +69,12 @@ def run_dryrun(n_devices: int) -> None:
 
         # 1. Sharded render equals the single-device render (the correctness
         #    keystone — certifies the collective layout, not just liveness).
-        img_sh, overflow, tile_ovf, gauss_ovf = jax.jit(
+        img_sh, counters = jax.jit(
             render_sharded, static_argnames=("cfg", "mesh")
         )(jax.device_put(params, pshard), cams_sh, cfg, mesh)
         img_sh = np.asarray(img_sh)
-        assert int(np.asarray(overflow).sum()) == 0, "capacity overflow in dryrun"
-        assert int(np.asarray(tile_ovf).sum()) == 0, "tile overflow in dryrun"
-        assert int(np.asarray(gauss_ovf).sum()) == 0, "gauss-cap overflow in dryrun"
+        for name, v in counters.items():
+            assert int(np.asarray(v).sum()) == 0, f"{name} in dryrun"
         for b in range(batch):
             cam_b = jax.tree_util.tree_map(lambda x: x[b], cams)
             ref, _ = render_stages(params, cam_b, cfg)
@@ -116,3 +115,53 @@ def run_dryrun(n_devices: int) -> None:
             f"backend={backend} loss={loss:.4f} overlap_loss={loss_ov:.4f} "
             "image-equality OK"
         )
+
+    # 4. Compact-gradient all-to-all exchange (parallel/compact_grad.py):
+    #    needs a scene where strip compaction activates (gauss cap < N
+    #    after its 1024-slot rounding), so a taller frame + larger N than
+    #    the blocks above. Certify step equality against the dense
+    #    psum-scatter exchange on the same mesh.
+    n_gauss = 4096
+    height = 16 * 4 * tile  # 4 tile rows per shard
+    cfg_c = dataclasses.replace(base_cfg, use_pallas=True,
+                                strip_gauss_mult=1.5)
+    tiles_y = cfg_c.tile_grid(width, height)[1]
+    assert cfg_c.strip_gauss_capacity(
+        n_gauss, -(-tiles_y // tile), tiles_y) is not None, (
+        "dryrun compact block no longer activates compaction")
+    params_c = random_scene(n_gauss, seed=1, sh_degree=1,
+                            scale_range=(0.1, 0.5))
+    cams_c = stack_cameras(
+        [
+            look_at_camera([np.sin(i), 0.3, 5.0], [0, 0, 0], width, height,
+                           fov_deg=60.0)
+            for i in range(batch)
+        ]
+    )
+    targets_c = jnp.asarray(
+        rng.uniform(0, 1, (batch, height, width, 3)), jnp.float32)
+    cams_csh = jax.device_put(cams_c, NamedSharding(mesh, P("data")))
+    targets_csh = jax.device_put(
+        targets_c, NamedSharding(mesh, P("data", None, None, None)))
+
+    losses = {}
+    opt_c = make_optimizer()
+    for mode in ("compact", "dense"):
+        cfg_m = dataclasses.replace(cfg_c, grad_exchange=mode)
+        st = create_train_state(params_c, opt_c)
+        st = dataclasses.replace(st, params=jax.device_put(st.params, pshard))
+        st, mm = sharded_train_step(
+            st, cams_csh, targets_csh, cfg_m, opt_c, mesh)
+        for name in ("capacity_overflow", "gauss_overflow", "a2a_overflow"):
+            assert int(np.asarray(mm[name]).sum()) == 0, f"{mode}: {name}"
+        assert int(st.step) == 1, f"{mode}: step gated"
+        losses[mode] = (float(mm["loss"]), np.asarray(st.params.means))
+    assert abs(losses["compact"][0] - losses["dense"][0]) <= 1e-5 * max(
+        1.0, abs(losses["dense"][0]))
+    np.testing.assert_allclose(
+        losses["compact"][1], losses["dense"][1], atol=3e-6,
+        err_msg="compact-gradient exchange != dense exchange")
+    print(
+        f"dryrun_multichip({n_devices}): compact-gradient all_to_all "
+        f"exchange == dense psum-scatter (loss {losses['compact'][0]:.4f})"
+    )

@@ -66,13 +66,23 @@ def _shard_render_body(
 ):
     """Per-shard render body (runs INSIDE shard_map over ("data", "tile")).
 
-    Preprocesses the local Gaussian shard for each local camera, all-gathers
-    the compact screen-space attributes over ``tile`` (transpose:
-    psum-scatter, which is what reduces parameter gradients over the tile
-    axis in backward), and renders this shard's strip of tile rows.
+    Preprocesses the local Gaussian shard for each local camera, exchanges
+    the compact screen-space attributes over ``tile``, and renders this
+    shard's strip of tile rows. Two gradient-exchange strategies
+    (``cfg.grad_exchange``):
 
-    Returns (strips [B_local, nrows*tile_h, width, 3], overflow [B_local],
-    tile_overflow [B_local]).
+      * "dense" (default): plain all_gather whose transpose psum-scatters
+        DENSE [N, ...] attribute gradients back to the owning shards.
+      * "compact" (when the Pallas strip-compaction prerequisites hold):
+        parallel/compact_grad.exchange_render — identical forward, but
+        backward reduces gradients only over the strip's compacted
+        Gaussian stream and ships compact (id, grad-row) buckets to owners
+        via all_to_all; no chip materializes dense [N] gradients. Measured
+        slower than dense on ICI (see config.grad_exchange).
+
+    Returns (strips [B_local, nrows*tile_h, width, 3], counters: dict of
+    [B_local] int32 — capacity/tile/gauss/a2a overflow; each channel has a
+    distinct recovery, see config.py).
     """
     # [B_local] cameras; preprocess local Gaussian shard for each camera.
     pg_local = jax.vmap(lambda v, pr, cp, tx, ty: preprocess(
@@ -82,15 +92,39 @@ def _shard_render_body(
         cfg,
     ))(cam.view, cam.proj, cam.cam_pos, cam.tan_fovx, cam.tan_fovy)
 
-    # Exchange compact attributes so every shard sees all Gaussians.
+    row0 = lax.axis_index("tile") * nrows
+    tiles_x, tiles_y = cfg.tile_grid(width, height)
+    n_local = p_shard.num_gaussians
+    n_shards = lax.axis_size("tile")
+    n_total = n_local * n_shards
+    gcap = cfg.strip_gauss_capacity(n_total, nrows, tiles_y)
+
+    from tpusplat.ops.binning import pallas_emission_ok
+
+    compact = (
+        cfg.grad_exchange == "compact"
+        and gcap is not None
+        and n_shards > 1
+        and nrows < tiles_y
+        and pallas_emission_ok(cfg, n_total, cap_shard, tiles_x, tiles_y)
+    )
+    if compact:
+        from tpusplat.parallel.compact_grad import (
+            CompactStatic, exchange_render, pack_exchange_table,
+        )
+
+        table_local = jax.vmap(pack_exchange_table)(pg_local)
+        st = CompactStatic(
+            cfg=cfg, width=width, height=height, nrows=nrows,
+            cap_shard=cap_shard, gcap=gcap, n_total=n_total,
+            n_local=n_local, n_shards=n_shards, axis="tile",
+        )
+        return exchange_render(table_local, st)
+
+    # Dense exchange: all_gather the full attribute pytree.
     pg_full = jax.tree_util.tree_map(
         lambda x: lax.all_gather(x, "tile", axis=1, tiled=True), pg_local
     )
-
-    row0 = lax.axis_index("tile") * nrows
-    tiles_y = cfg.tile_grid(width, height)[1]
-    n_total = pg_full.ntiles.shape[1]  # [B_local, N] after the all_gather
-    gcap = cfg.strip_gauss_capacity(n_total, nrows, tiles_y)
 
     def render_one(pg):
         binned = bin_and_sort(pg, width, height, cfg, row0, nrows, cap_shard,
@@ -107,8 +141,12 @@ def _shard_render_body(
         # with no signal corrupts training undetectably. gauss_overflow is
         # the strip-compaction cap (separate channel: its recovery is
         # growing strip_gauss_mult, not the instance capacity).
-        return (img, aux["capacity_overflow"], aux["tile_overflow"],
-                aux["gauss_overflow"])
+        return img, dict(
+            capacity_overflow=aux["capacity_overflow"],
+            tile_overflow=aux["tile_overflow"],
+            gauss_overflow=aux["gauss_overflow"],
+            a2a_overflow=jnp.zeros((), jnp.int32),
+        )
 
     # lax.map (not vmap): pallas_call doesn't batch, and the per-camera
     # work is large enough that sequencing costs nothing.
@@ -185,7 +223,8 @@ def render_sharded(
         size (shard evenly; pad with dead Gaussians if needed).
       cameras: batched Camera (leading axis divisible by the data-axis size).
     Returns:
-      [B, H, W, 3] image, sharded (batch over 'data', rows over 'tile').
+      ([B, H, W, 3] image sharded (batch over 'data', rows over 'tile'),
+      counters dict of [n_devices] int32 overflow channels).
     """
     n_tile = mesh.shape["tile"]
     width, height = cameras.width, cameras.height
@@ -194,13 +233,13 @@ def render_sharded(
     cap_shard = cfg.instance_capacity(max(n // n_tile, 1))
 
     def body(p_shard: GaussianParams, cam: Camera):
-        strip, overflow, tile_ovf, gauss_ovf = _shard_render_body(
+        strip, counters = _shard_render_body(
             p_shard, cam, cfg, width, height, nrows, cap_shard
         )
-        return (strip, jnp.sum(overflow)[None], jnp.sum(tile_ovf)[None],
-                jnp.sum(gauss_ovf)[None])
+        return strip, jax.tree_util.tree_map(
+            lambda x: jnp.sum(x)[None], counters)
 
-    strips, overflow, tile_ovf, gauss_ovf = jax.shard_map(
+    strips, counters = jax.shard_map(
         body,
         mesh=mesh,
         # The rasterizer's scan carries are created inside the mapped body
@@ -228,13 +267,16 @@ def render_sharded(
         ),
         out_specs=(
             P("data", "tile", None, None),
-            P(("data", "tile")),
-            P(("data", "tile")),
-            P(("data", "tile")),
+            dict(
+                capacity_overflow=P(("data", "tile")),
+                tile_overflow=P(("data", "tile")),
+                gauss_overflow=P(("data", "tile")),
+                a2a_overflow=P(("data", "tile")),
+            ),
         ),
     )(params, cameras)
     # strips: [B, S*nrows*tile_h, W, 3]; crop the tile padding.
-    return strips[:, :height], overflow, tile_ovf, gauss_ovf
+    return strips[:, :height], counters
 
 
 @partial(
@@ -259,23 +301,25 @@ def sharded_train_step(
     trainable, alive = split_trainable(state.params)
 
     def loss_fn(tr):
-        img, overflow, tile_ovf, gauss_ovf = render_sharded(
+        img, counters = render_sharded(
             merge_trainable(tr, alive), cameras, cfg, mesh
         )
-        return gs_loss(img, targets, ssim_weight), (overflow, tile_ovf,
-                                                    gauss_ovf)
+        return gs_loss(img, targets, ssim_weight), counters
 
-    (loss, (overflow, tile_ovf, gauss_ovf)), grads = jax.value_and_grad(
+    (loss, counters), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(trainable)
     updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
     params = merge_trainable(optax.apply_updates(trainable, updates), alive)
     # In-graph overflow gate (see train/step.py): never apply a step whose
-    # gradients were computed from a truncated instance buffer — the host
-    # regrows capacity and retries from the unchanged (donated-in-place)
-    # state, matching the reference's retry semantics
-    # (src/Renderer.cpp:541-563).
-    ok = (jnp.sum(overflow) + jnp.sum(gauss_ovf)) == 0
+    # gradients were computed from a truncated instance buffer, compacted
+    # stream, or exchange bucket — the host regrows the right capacity
+    # (each channel names its own recovery, config.py) and retries from
+    # the unchanged (donated-in-place) state, matching the reference's
+    # retry semantics (src/Renderer.cpp:541-563).
+    ok = (jnp.sum(counters["capacity_overflow"])
+          + jnp.sum(counters["gauss_overflow"])
+          + jnp.sum(counters["a2a_overflow"])) == 0
     keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
         lambda a, b: jnp.where(ok, a, b), new, old
     )
@@ -285,10 +329,7 @@ def sharded_train_step(
         opt_state=keep(opt_state, state.opt_state),
         step=state.step + jnp.where(ok, 1, 0),
     )
-    return state, dict(
-        loss=loss, capacity_overflow=overflow, tile_overflow=tile_ovf,
-        gauss_overflow=gauss_ovf,
-    )
+    return state, dict(loss=loss, **counters)
 
 
 @partial(
@@ -341,16 +382,16 @@ def sharded_train_step_overlap(
         row0_px = lax.axis_index("tile") * nrows * cfg.tile_h
 
         def loss_fn(tr):
-            strips, ovf, tovf, govf = _shard_render_body(
+            strips, counters = _shard_render_body(
                 merge_trainable(tr, alv), cam, cfg, width, height, nrows,
                 cap_shard,
             )
             loss_local = _strip_loss_local(
                 strips, tgt, row0_px, total_rows_px, height, width, ssim_weight
             )
-            return loss_local, (jnp.sum(ovf), jnp.sum(tovf), jnp.sum(govf))
+            return loss_local, jax.tree_util.tree_map(jnp.sum, counters)
 
-        (loss_local, (ovf, tovf, govf)), g = jax.value_and_grad(
+        (loss_local, counters), g = jax.value_and_grad(
             loss_fn, has_aux=True
         )(tr)
         # g is already reduced over 'tile' (all_gather transpose inside
@@ -360,10 +401,9 @@ def sharded_train_step_overlap(
         else:
             g = jax.tree_util.tree_map(lambda x: lax.psum(x, "data"), g)
         loss = lax.psum(loss_local, ("data", "tile")) + ssim_weight
-        ovf = lax.psum(ovf, ("data", "tile"))
-        tovf = lax.psum(tovf, ("data", "tile"))
-        govf = lax.psum(govf, ("data", "tile"))
-        return loss, ovf, tovf, govf, g
+        counters = jax.tree_util.tree_map(
+            lambda x: lax.psum(x, ("data", "tile")), counters)
+        return loss, counters, g
 
     pspec = {
         "means": P("tile", None),
@@ -372,7 +412,7 @@ def sharded_train_step_overlap(
         "opacities": P("tile"),
         "sh": P("tile", None, None),
     }
-    loss, overflow, tile_ovf, gauss_ovf, grads = jax.shard_map(
+    loss, counters, grads = jax.shard_map(
         body,
         mesh=mesh,
         check_vma=False,
@@ -390,12 +430,18 @@ def sharded_train_step_overlap(
             ),
             P("data", None, None, None),
         ),
-        out_specs=(P(), P(), P(), P(), pspec),
+        out_specs=(
+            P(),
+            dict(capacity_overflow=P(), tile_overflow=P(),
+                 gauss_overflow=P(), a2a_overflow=P()),
+            pspec,
+        ),
     )(trainable, alive, cameras, targets)
 
     updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
     params = merge_trainable(optax.apply_updates(trainable, updates), alive)
-    ok = (overflow + gauss_ovf) == 0
+    ok = (counters["capacity_overflow"] + counters["gauss_overflow"]
+          + counters["a2a_overflow"]) == 0
     keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
         lambda a, b: jnp.where(ok, a, b), new, old
     )
@@ -405,7 +451,4 @@ def sharded_train_step_overlap(
         opt_state=keep(opt_state, state.opt_state),
         step=state.step + jnp.where(ok, 1, 0),
     )
-    return state, dict(
-        loss=loss, capacity_overflow=overflow, tile_overflow=tile_ovf,
-        gauss_overflow=gauss_ovf,
-    )
+    return state, dict(loss=loss, **counters)
