@@ -246,7 +246,7 @@ def main(argv=None):
         for cam_e, tgt_e in zip(eval_cams, eval_targets):
             img, _ = _render_eval(state.params, cam_e, cfg)
             ps.append(float(_psnr(img, tgt_e)))
-            ss.append(float(_ssim(img, tgt_e)))
+            ss.append(float(_ssim(img, tgt_e, crop_border=True)))
         print(json.dumps(dict(
             eval_step=step_no, psnr=round(sum(ps) / len(ps), 2),
             ssim=round(sum(ss) / len(ss), 4), views=len(ps),

@@ -149,10 +149,11 @@ def strip_main(shards: int):
         qs = jnp.minimum(lax.iota(jnp.int32, n_pad // rp.GB + 1) * rp.GB,
                          jnp.int32(n))
         b = binning.searchsorted_left_big(gid_sd, qs)
-        grad = jnp.pad(grad, ((0, rp.GPAD - rp.GROWS), (0, rp.WIN)))
-        gid2d = jnp.pad(gid_sd[None, :], ((0, 0), (0, rp.WIN)),
+        win = rp._seg_win(cap, n_pad)  # occupancy-adaptive (r5)
+        grad = jnp.pad(grad, ((0, rp.GPAD - rp.GROWS), (0, win)))
+        gid2d = jnp.pad(gid_sd[None, :], ((0, 0), (0, win)),
                         constant_values=-1)
-        g = rp._run_segment_reduce(grad, gid2d, b, n_pad, n)
+        g = rp._run_segment_reduce(grad, gid2d, b, n_pad, n, win=win)
         return jnp.transpose(g[:, :n], (1, 0))
 
     res["segment_reduce"], _ = timeit(jax.jit(segreduce), sorted_)

@@ -59,12 +59,24 @@ def ssim_map(img: jax.Array, target: jax.Array, size: int = 11, sigma: float = 1
     return num / den
 
 
-def ssim(img: jax.Array, target: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
-    """Mean SSIM over an [H, W, C] (or [B, H, W, C]) image pair."""
+def ssim(img: jax.Array, target: jax.Array, size: int = 11,
+         sigma: float = 1.5, crop_border: bool = False) -> jax.Array:
+    """Mean SSIM over an [H, W, C] (or [B, H, W, C]) image pair.
+
+    ``crop_border``: exclude the size//2-wide frame where SAME zero
+    padding biases the local statistics (variance estimates go negative,
+    and near-perfect reconstructions can read > 1). The training loss
+    keeps the full map for parity with the original 3DGS objective;
+    REPORTED eval metrics crop, so eval SSIM is a proper [-1, 1] score.
+    """
     if img.ndim == 3:
         img = img[None]
         target = target[None]
-    return jnp.mean(ssim_map(img, target, size, sigma))
+    smap = ssim_map(img, target, size, sigma)
+    if crop_border:
+        hb = size // 2
+        smap = smap[:, hb:-hb, hb:-hb]
+    return jnp.mean(smap)
 
 
 def psnr(img: jax.Array, target: jax.Array) -> jax.Array:
