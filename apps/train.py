@@ -43,6 +43,14 @@ def main(argv=None):
                         "eval (0 = eval on training views)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="log eval PSNR/SSIM every N steps (0 = final only)")
+    p.add_argument("--mesh", default=None,
+                   help="'DATAxTILE' device mesh for multi-chip sharded "
+                        "training (e.g. 2x4): cameras batch over DATA, "
+                        "Gaussians + image tile-rows shard over TILE "
+                        "(parallel/sharded.py). Requires DATA*TILE devices")
+    p.add_argument("--overlap", action="store_true",
+                   help="with --mesh: use the comm/compute-overlap step "
+                        "(halo-exchange strip loss + ppermute ring)")
     p.add_argument("--out", default="trained.ply")
     p.add_argument("--ckpt", default=None, help="checkpoint path (.npz)")
     p.add_argument("--log-every", type=int, default=50)
@@ -69,6 +77,11 @@ def main(argv=None):
     from tpusplat.train.densify import DensifyConfig, densify_and_prune, reset_opacity
     from tpusplat.train.step import create_train_state, make_optimizer, train_step
     from tpusplat.types import GaussianParams
+
+    mesh_dims = None
+    if args.mesh:
+        mesh_dims = tuple(int(x) for x in args.mesh.lower().split("x"))
+        assert len(mesh_dims) == 2, "--mesh expects DATAxTILE, e.g. 2x4"
 
     w, h = args.width, args.height
     cfg = RenderConfig(max_per_tile=2048).with_env_overrides()
@@ -123,6 +136,8 @@ def main(argv=None):
         # dead random slots beyond it leave densification headroom.
         m_pts = colmap_init.num_gaussians
         cap = args.capacity or 4 * m_pts
+        if mesh_dims:  # even Gaussian shards over the tile axis
+            cap = -(-cap // mesh_dims[1]) * mesh_dims[1]
         m = min(m_pts, cap)
         base = random_scene(cap, seed=1, sh_degree=args.sh_degree,
                             extent=3.0, scale_range=(0.05, 0.25))
@@ -152,6 +167,8 @@ def main(argv=None):
                               capacity=cap)), file=sys.stderr, flush=True)
     else:
         cap = args.capacity or 4 * args.n_init
+        if mesh_dims:
+            cap = -(-cap // mesh_dims[1]) * mesh_dims[1]
         init = random_scene(cap, seed=1, sh_degree=args.sh_degree, extent=3.0,
                             scale_range=(0.05, 0.25))
         alive = np.zeros(cap, bool)
@@ -170,6 +187,30 @@ def main(argv=None):
     optimizer = make_optimizer(scene_extent=scene_extent,
                                means_lr_max_steps=args.steps)
     state = create_train_state(init, optimizer)
+
+    # Multi-chip mode: Gaussians + tile-rows shard over 'tile', camera
+    # batches over 'data' (parallel/sharded.py); each loop iteration
+    # consumes DATA cameras and performs one sharded optimizer step.
+    mesh = None
+    if mesh_dims:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpusplat.parallel.mesh import make_render_mesh
+        from tpusplat.parallel.sharded import (
+            params_sharding, sharded_train_step, sharded_train_step_overlap,
+        )
+        from tpusplat.types import stack_cameras
+
+        d_sz, t_sz = mesh_dims
+        mesh = make_render_mesh(data=d_sz, tile=t_sz)
+        pshard = params_sharding(mesh)
+        state = dataclasses.replace(
+            state, params=jax.device_put(state.params, pshard))
+        shard_step = (sharded_train_step_overlap if args.overlap
+                      else sharded_train_step)
+        print(json.dumps(dict(mesh=f"{d_sz}x{t_sz}",
+                              overlap=bool(args.overlap))),
+              file=sys.stderr, flush=True)
+
     dcfg = DensifyConfig()
     densify_until = args.densify_until or args.steps // 2
     key = jax.random.key(0)
@@ -202,10 +243,21 @@ def main(argv=None):
     def poll_oldest():
         nonlocal cfg, done
         i, metrics = inflight.popleft()
-        overflow = int(metrics["capacity_overflow"])
-        gauss_ovf = int(metrics.get("gauss_overflow", 0))
+        overflow = int(jnp.sum(metrics["capacity_overflow"]))
+        gauss_ovf = int(jnp.sum(metrics.get("gauss_overflow", 0)))
+        a2a_ovf = int(jnp.sum(metrics.get("a2a_overflow", 0)))
         if dog is not None:
             dog.beat(done)  # metrics fetch above is the device sync
+        if a2a_ovf > 0:
+            # Compact-exchange bucket overflow (sharded mode): its
+            # recovery is the bucket-capacity multiplier.
+            cfg = dataclasses.replace(
+                cfg, grad_a2a_mult=cfg.grad_a2a_mult * 1.5)
+            retry_q.append(i)
+            print(json.dumps(dict(
+                step=done + 1, grad_a2a_mult_regrow=cfg.grad_a2a_mult,
+                a2a_overflow=a2a_ovf)), file=sys.stderr, flush=True)
+            return
         if gauss_ovf > 0:
             # Strip-compaction cap overflow: growing the INSTANCE capacity
             # cannot clear it — grow the Gaussian-stream multiplier instead
@@ -260,16 +312,29 @@ def main(argv=None):
     while done < args.steps:
         if retry_q:
             i = retry_q.popleft()
-        else:
+        elif mesh is None:
             i = seq % len(cams)
             seq += 1
+        else:
+            i = tuple((seq + j) % len(cams) for j in range(mesh.shape["data"]))
+            seq += mesh.shape["data"]
         if dog is not None:
             # Mark 'work submitted' BEFORE the dispatch: the first step (and
             # every post-regrow retry) includes a full pipeline compile that
             # can exceed a steady-state timeout; the completion heartbeat in
             # poll_oldest alone would spuriously expire during it.
             dog.beat(done)
-        state, metrics = train_step(state, cams[i], targets[i], cfg, optimizer)
+        if mesh is None:
+            state, metrics = train_step(state, cams[i], targets[i], cfg,
+                                        optimizer)
+        else:
+            camb = stack_cameras([cams[j] for j in i])
+            tgtb = jnp.stack([targets[j] for j in i])
+            camb = jax.device_put(camb, NamedSharding(mesh, P("data")))
+            tgtb = jax.device_put(
+                tgtb, NamedSharding(mesh, P("data", None, None, None)))
+            state, metrics = shard_step(state, camb, tgtb, cfg, optimizer,
+                                        mesh)
         inflight.append((i, metrics))
         if len(inflight) >= 2 or done + len(inflight) >= args.steps:
             poll_oldest()
@@ -279,6 +344,9 @@ def main(argv=None):
             last_densify = step
             key, sub = jax.random.split(key)
             state = densify_jit(state, sub, dcfg, scene_extent)
+            if mesh is not None:  # keep the even Gaussian sharding
+                state = dataclasses.replace(
+                    state, params=jax.device_put(state.params, pshard))
         if args.opacity_reset_every and step - last_reset >= args.opacity_reset_every \
                 and step <= densify_until:
             last_reset = step

@@ -120,3 +120,24 @@ def test_searchsorted_left_big_matches():
         np.asarray(jax.jit(searchsorted_left_big)(jnp.asarray(a2), jnp.asarray(v2))),
         np.searchsorted(a2, v2, side="left"),
     )
+
+
+def test_tall_frame_routes_to_xla_expand():
+    """tiles_y > 255 exceeds the Pallas emission kernel's 8-bit packed
+    meta bound (ADVICE r4) — bin_and_sort must fall back to the XLA
+    expansion and still produce correct results. tile_h=2 keeps the test
+    cheap while pushing tiles_y to 300."""
+    params = random_scene(400, seed=11, sh_degree=0, scale_range=(0.02, 0.1))
+    cam = look_at_camera([0.0, 0.5, 6.0], [0, 0, 0], 64, 600, fov_deg=60.0)
+    cfg_p = RenderConfig(sh_degree=0, tile_w=16, tile_h=2, use_pallas=True,
+                         capacity_mult=32)
+    cfg_x = dataclasses.replace(cfg_p, use_pallas=False)
+    tiles_x, tiles_y = cfg_p.tile_grid(64, 600)
+    assert tiles_y > 255
+
+    pg = preprocess(params, cam, cfg_p)
+    a = jax.jit(lambda pg: bin_and_sort(pg, 64, 600, cfg_p))(pg)
+    b = jax.jit(lambda pg: bin_and_sort(pg, 64, 600, cfg_x))(pg)
+    assert int(a.num_instances) == int(b.num_instances) > 0
+    np.testing.assert_array_equal(np.asarray(a.gauss_id), np.asarray(b.gauss_id))
+    np.testing.assert_array_equal(np.asarray(a.tile_start), np.asarray(b.tile_start))
