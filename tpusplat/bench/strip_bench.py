@@ -202,13 +202,29 @@ def main():
         res["strip_compact_ms_max"] = max(compact_ms)
 
     # NOTE: this full-pipeline-per-strip measurement INCLUDES the full-N
-    # preprocess + depth argsort + emission prep each strip would NOT
-    # repeat... they would: each chip preprocesses N/8 then all-gathers,
-    # but argsort/cumsum/meta run at full N on every chip. Only the
-    # preprocess portion is replaced by the shard-sized one; correct for
-    # the difference.
+    # preprocess (forward AND backward — jax.grad differentiates through
+    # it) + depth argsort + emission prep each strip would NOT repeat...
+    # they would: each chip preprocesses N/8 then all-gathers, but
+    # argsort/cumsum/meta run at full N on every chip. Only the preprocess
+    # portion is replaced by the shard-sized one; correct for the
+    # difference with the measured fwd+bwd preprocess cost at both sizes
+    # (round 4 subtracted the forward only, overcounting the per-chip
+    # frame by the full-N preprocess VJP, ~1-2 ms).
     t_pre_full, _ = timeit(jax.jit(partial(preprocess, cfg=cfg)), params, cam)
     res["t_preprocess_full_ms"] = round(t_pre_full, 2)
+
+    def pre_grad_loss(tr, alv):
+        pg2 = preprocess(merge_trainable(tr, alv), cam, cfg)
+        return (jnp.sum(pg2.uv) + jnp.sum(pg2.conic) + jnp.sum(pg2.opacity)
+                + jnp.sum(pg2.color) + jnp.sum(pg2.depth))
+
+    pre_g = jax.jit(jax.grad(pre_grad_loss))
+    tr_full, alv_full = split_trainable(params)
+    tr_sh, alv_sh = split_trainable(params_shard)
+    t_pre_grad_full, _ = timeit(pre_g, tr_full, alv_full, iters=12)
+    t_pre_grad_shard, _ = timeit(pre_g, tr_sh, alv_sh, iters=40)
+    res["t_preprocess_fwdbwd_full_ms"] = round(t_pre_grad_full, 2)
+    res["t_preprocess_fwdbwd_shard_ms"] = round(max(t_pre_grad_shard, 0.0), 3)
 
     # --- 3. exact communication volumes ---
     # all-gather of compact attrs: ProcessedGaussians = uv2 conic3 op1
@@ -243,7 +259,8 @@ def main():
     mpix = w * h / 1e6
 
     def project(strip_max_ms, bwd_bytes):
-        pipe = strip_max_ms - t_pre_full + res["t_preprocess_shard_ms"]
+        pipe = (strip_max_ms - res["t_preprocess_fwdbwd_full_ms"]
+                + res["t_preprocess_fwdbwd_shard_ms"])
         proj = {}
         for eff_gbps, label in ((100.0, "ici_50pct"), (200.0, "ici_100pct")):
             comm_ms = (ag_bytes + bwd_bytes) / (eff_gbps * 1e6)

@@ -87,13 +87,20 @@ def measure_strip_projection(params, cam, cfg, shards=8, iters=4,
         assert int(govf) == 0, f"strip {s} gauss-cap overflow"
         strip_ms.append(t)
 
-    t_pre_shard, _ = _timeit(
-        pre,
-        jax.tree_util.tree_map(
-            lambda x: x[: n // shards] if hasattr(x, "shape") and x.shape
-            and x.shape[0] == n else x, params),
-        cam, iters=40)
-    t_pre_full, _ = _timeit(pre, params, cam, iters=10)
+    # Preprocess correction uses fwd+BWD at both sizes: the per-strip
+    # grad measurement above differentiates through full-N preprocess,
+    # while the real sharded chip pays only the N/S one.
+    def pre_grad_loss(tr, alv):
+        pg2 = preprocess(merge_trainable(tr, alv), cam, cfg)
+        return (jnp.sum(pg2.uv) + jnp.sum(pg2.conic) + jnp.sum(pg2.opacity)
+                + jnp.sum(pg2.color) + jnp.sum(pg2.depth))
+
+    pre_g = jax.jit(jax.grad(pre_grad_loss))
+    params_shard = jax.tree_util.tree_map(
+        lambda x: x[: n // shards] if hasattr(x, "shape") and x.shape
+        and x.shape[0] == n else x, params)
+    t_pre_shard, _ = _timeit(pre_g, *split_trainable(params_shard), iters=40)
+    t_pre_full, _ = _timeit(pre_g, *split_trainable(params), iters=10)
 
     # all_gather of the 16-f32 compact attributes; psum-scatter of the 9
     # live gradient rows (the dense exchange's transpose).

@@ -250,6 +250,78 @@ def check_pallas_vs_golden(n=6_000, w=128, h=128, sh=0, seed=1):
     return res, ok
 
 
+def check_compact_exchange(n=50_000, w=640, h=512, sh=2, seed=7, n_strips=4):
+    """The compact-gradient exchange kernels on HARDWARE.
+
+    With a single 'shard' the emulated exchange (identity all_to_all,
+    parallel/compact_grad.exchange_render_emulated) is a COMPLETE
+    alternative gradient path: instance gradients -> gid sort ->
+    streamed-targets segment reduce into the (one-bucket) compact layout
+    -> multi-range owner reduce back to the dense table. Its parameter
+    gradients must match the standard dense custom-VJP strip pipeline —
+    certifying the Mosaic-compiled numerics of both new kernel modes,
+    which interpret-mode CPU tests cannot.
+    """
+    import functools
+
+    from tpusplat.camera import look_at_camera
+    from tpusplat.config import RenderConfig
+    from tpusplat.io.synthetic import random_scene
+    from tpusplat.ops.binning import bin_and_sort
+    from tpusplat.ops.preprocess import preprocess
+    from tpusplat.ops.rasterize_pallas import rasterize_pallas
+    from tpusplat.parallel.compact_grad import (
+        CompactStatic, exchange_render_emulated, pack_exchange_table,
+    )
+    from tpusplat.train.step import merge_trainable, split_trainable
+
+    params = random_scene(n, seed=seed, sh_degree=sh,
+                          scale_range=(0.004, 0.04), extent=4.0)
+    cam = look_at_camera([0.0, 0.5, 7.0], [0.0, 0.0, 0.0], w, h, fov_deg=60.0)
+    cfg = RenderConfig(sh_degree=sh, capacity_mult=8, use_pallas=True)
+    tiles_x, tiles_y = cfg.tile_grid(w, h)
+    nrows = tiles_y // n_strips
+    cap_strip = cfg.instance_capacity(n) // 2
+    gcap = cfg.strip_gauss_capacity(n, nrows, tiles_y)
+    assert gcap is not None, "gate scene must activate strip compaction"
+    st = CompactStatic(cfg=cfg, width=w, height=h, nrows=nrows,
+                       cap_shard=cap_strip, gcap=gcap, n_total=n,
+                       n_local=n, n_shards=1, axis=None)
+    trainable, alive = split_trainable(params)
+    row0 = nrows  # a middle strip
+
+    @jax.jit
+    def grad_dense(tr):
+        def loss(tr):
+            pg = preprocess(merge_trainable(tr, alive), cam, cfg)
+            binned = bin_and_sort(pg, w, h, cfg, row0, nrows, cap_strip,
+                                  gauss_capacity=gcap)
+            img, _ = rasterize_pallas(pg, binned, w, h, cfg, row0, nrows)
+            return jnp.sum(img * img) / (w * h * 3)
+
+        return jax.grad(loss)(tr)
+
+    @jax.jit
+    def grad_compact(tr):
+        def loss(tr):
+            pg = preprocess(merge_trainable(tr, alive), cam, cfg)
+            table = pack_exchange_table(pg)[None]
+            img, counters = exchange_render_emulated(
+                table, jnp.asarray(row0, jnp.float32), st)
+            return jnp.sum(img * img) / (w * h * 3), counters
+
+        g, counters = jax.grad(loss, has_aux=True)(tr)
+        return g, counters
+
+    g_d = grad_dense(trainable)
+    g_c, counters = grad_compact(trainable)
+    assert int(np.sum(np.asarray(counters["capacity_overflow"]))) == 0
+    assert int(np.sum(np.asarray(counters["a2a_overflow"]))) == 0
+    res = {"grad_max_rel_diff": _grad_diffs(g_d, g_c)}
+    ok = all(v <= GRAD_ATOL for v in res["grad_max_rel_diff"].values())
+    return res, ok
+
+
 def main():
     backend = jax.default_backend()
     if backend != "tpu":
@@ -267,7 +339,14 @@ def main():
     print(f"  img max|diff| = {res_s['img_max_abs_diff']:.3g}  "
           f"grads = {res_s['grad_max_rel_diff']}  pass={ok_s}", file=sys.stderr)
 
-    print("tpu_gate: Pallas vs XLA @ 100k/800x800 SH3 (+production mode) ...",
+    print("tpu_gate: compact-gradient exchange kernels @ 50k/640x512 ...",
+          file=sys.stderr, flush=True)
+    res_c, ok_c = check_compact_exchange()
+    out["compact_exchange_50k_640"] = {**res_c, "pass": ok_c}
+    print(f"  grads = {res_c['grad_max_rel_diff']}  pass={ok_c}",
+          file=sys.stderr)
+
+    print("tpu_gate: Pallas vs XLA @ 800x800 SH3 (+production mode) ...",
           file=sys.stderr, flush=True)
     res_x, ok_x, res_pr, ok_pr = check_pallas_vs_xla()
     out["pallas_vs_xla_100k_800"] = {**res_x, "pass": ok_x}
@@ -285,7 +364,7 @@ def main():
     print(f"  img max|diff| = {res_g['img_max_abs_diff']:.3g}  "
           f"grads = {res_g['grad_max_rel_diff']}  pass={ok_g}", file=sys.stderr)
 
-    out["pass"] = ok_x and ok_g and ok_s and ok_pr
+    out["pass"] = ok_x and ok_g and ok_s and ok_pr and ok_c
     out["tolerances"] = {
         "img_atol": IMG_ATOL, "grad_atol": GRAD_ATOL,
         "golden_img_atol": GOLDEN_IMG_ATOL, "golden_grad_atol": GOLDEN_GRAD_ATOL,
