@@ -115,7 +115,14 @@ def main(argv=None):
             cams, imgs = load_views(args.data)
         targets = [jnp.asarray(im, jnp.float32) for im in imgs]
         w, h = cams[0].width, cams[0].height
-        scene_extent = float(np.std([np.asarray(c.cam_pos) for c in cams])) * 2 + 1.0
+        # Scene extent = 1.1x the camera-position bounding-sphere radius —
+        # the standard 3DGS "nerf normalization" that scales the means
+        # learning rate and densification thresholds (upstream getNerfppNorm
+        # recipe; replaces the cruder position-std heuristic).
+        centers = np.stack([np.asarray(c.cam_pos) for c in cams])
+        radius = float(np.max(np.linalg.norm(
+            centers - centers.mean(axis=0), axis=1)))
+        scene_extent = max(radius * 1.1, 1.0)
     else:
         # Self-supervised synthetic: ground-truth scene renders are targets.
         gt = random_scene(8000, seed=42, sh_degree=args.sh_degree,

@@ -202,8 +202,7 @@ def main():
         dtf = (tf2 - tf1) / iters
         mpix_f = w * h / 1e6 / dtf
         log(f"viewer (fwd-only): {dtf * 1e3:.1f} ms/frame -> "
-            f"{mpix_f:.1f} Mpix/s ({1e3 / dtf / (w * h / (1920 * 1080)):.1f} "
-            "fps-at-1080p-equivalent)")
+            f"{mpix_f:.1f} Mpix/s ({1.0 / dtf:.1f} fps)")
         print(json.dumps({
             "metric": f"VIEWER fwd-only Mpix/s/chip (garden: {n} gaussians "
                       f"@ {w}x{h})",
@@ -228,9 +227,10 @@ def main():
             f"-> v5e-8 projection {sp['mpix_per_s']:.1f} Mpix/s "
             f"({sp['scaling_eff_vs_1chip'] * 100:.0f}% efficiency, "
             "ICI @50%)")
+        log(f"strip detail: {sp}")
         print(json.dumps({
             "metric": "STRIP v5e-8 projection Mpix/s (garden, measured "
-                      "per-strip fwd+bwd, compact grad exchange, ICI@50%)",
+                      "per-strip fwd+bwd, dense grad exchange, ICI@50%)",
             "value": round(sp["mpix_per_s"], 2),
             "unit": "Mpix/s",
             "vs_baseline": round(sp["mpix_per_s"] / baseline, 3),
