@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--orbit", type=int, default=0,
                    help="render N orbit frames around the target")
     p.add_argument("--xla", action="store_true", help="use the XLA rasterizer")
+    p.add_argument("--mesh", default=None,
+                   help="'DATAxTILE' device mesh: render frames through the "
+                        "tile-sharded multi-chip pipeline (Gaussians + image "
+                        "tile-rows over TILE shards; parallel/sharded.py)")
     p.add_argument("-i", "--interactive", action="store_true",
                    help="keyboard-driven terminal loop (wasd/ec move, arrows "
                         "look, q quit) with live metrics")
@@ -98,6 +102,30 @@ def main(argv=None):
               file=sys.stderr)
         return
 
+    mesh = None
+    if args.mesh:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpusplat.parallel.mesh import make_render_mesh
+        from tpusplat.parallel.sharded import params_sharding, render_sharded
+        from tpusplat.types import stack_cameras
+
+        d_sz, t_sz = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_render_mesh(data=d_sz, tile=t_sz)
+        n = params.num_gaussians
+        if n % t_sz:  # pad with dead slots so Gaussian shards are even
+            import jax.numpy as jnp
+
+            pad = t_sz - n % t_sz
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+                if hasattr(x, "shape") and x.shape and x.shape[0] == n
+                else x, params)
+        params = jax.device_put(params, params_sharding(mesh))
+        render_sh = jax.jit(render_sharded, static_argnames=("cfg", "mesh"))
+
     frames = max(args.orbit, 1)
     center = np.asarray(args.target)
     eye0 = np.asarray(args.camera)
@@ -115,17 +143,28 @@ def main(argv=None):
             eye = eye0
         cam = look_at_camera(eye, center, args.width, args.height, fov_deg=args.fov)
         t0 = time.time()
-        img, aux, cfg = render_auto(params, cam, cfg)
-        img.block_until_ready()
+        if mesh is None:
+            img, aux, cfg = render_auto(params, cam, cfg)
+            img.block_until_ready()
+            msg_extra = dict(instances=int(aux["num_instances"]),
+                             overflow=int(aux["capacity_overflow"]))
+        else:
+            # A "batch" of DATA copies of this camera keeps the mesh fully
+            # occupied for a single-frame render.
+            cams_b = stack_cameras([cam] * mesh.shape["data"])
+            cams_b = jax.device_put(cams_b, NamedSharding(mesh, P("data")))
+            imgs, counters = render_sh(params, cams_b, cfg, mesh)
+            img = np.asarray(imgs[0])
+            msg_extra = {k: int(np.sum(np.asarray(v)))
+                         for k, v in counters.items()}
+            aux = None
         dt = time.time() - t0
         out = args.output if frames == 1 else args.output.replace(
             ".png", f"_{i:04d}.png")
         save_png(out, img)
-        msg = dict(frame=i, ms=round(dt * 1e3, 1),
-                   instances=int(aux["num_instances"]),
-                   overflow=int(aux["capacity_overflow"]), out=out)
+        msg = dict(frame=i, ms=round(dt * 1e3, 1), out=out, **msg_extra)
         print(json.dumps(msg), file=sys.stderr)
-        if args.verbose:
+        if args.verbose and aux is not None:
             print(f"transmittance mean {float(np.mean(aux['transmittance'])):.3f}",
                   file=sys.stderr)
 

@@ -23,3 +23,21 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu"
     assert len(jax.devices()) == 8
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The suite accumulates ~100 large jitted programs (sharded train steps,
+    interpret-mode Pallas kernels); past that point XLA:CPU's compiler has
+    been observed to segfault deterministically inside
+    backend_compile_and_load (jaxlib 0.9.0). Dropping the in-memory
+    executable cache at module boundaries keeps the process well inside
+    the stable regime at the cost of a few cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()

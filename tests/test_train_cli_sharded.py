@@ -54,3 +54,21 @@ def test_train_cli_sharded_overlap(tmp_path):
     assert any(ln.get("overlap") for ln in lines), err.getvalue()[-1500:]
     losses = [ln["loss"] for ln in lines if "loss" in ln]
     assert losses and all(np.isfinite(losses))
+
+
+def test_viewer_cli_sharded_mesh(tmp_path):
+    """apps/viewer.py --mesh renders through the tile-sharded pipeline."""
+    from apps.viewer import main as viewer_main
+    from tpusplat.io.dataset import read_image
+
+    out = str(tmp_path / "r.png")
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        viewer_main(["test", "-w", "64", "--height", "64", "-o", out,
+                     "--mesh", "2x4"])
+    lines = [json.loads(ln) for ln in err.getvalue().splitlines()
+             if ln.startswith("{")]
+    frame = [ln for ln in lines if "frame" in ln]
+    assert frame and frame[0]["capacity_overflow"] == 0
+    img = read_image(out)
+    assert img.shape[:2] == (64, 64) and np.isfinite(img).all()
