@@ -40,7 +40,7 @@ def main(argv=None):
     p.add_argument("--opacity-reset-every", type=int, default=1500)
     p.add_argument("--holdout", type=int, default=0,
                    help="hold out every Kth view from training for PSNR/SSIM "
-                        "eval (0 = eval on training views)")
+                        "eval (K >= 2; 0 = eval on training views)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="log eval PSNR/SSIM every N steps (0 = final only)")
     p.add_argument("--mesh", default=None,
@@ -183,6 +183,9 @@ def main(argv=None):
         init = dataclasses.replace(init, alive=jnp.asarray(alive))
 
     # --- held-out eval split (every Kth view, the llffhold convention) ---
+    if args.holdout == 1:
+        # K=1 would hold out EVERY view, leaving nothing to train on.
+        p.error("--holdout must be >= 2 (1 would hold out every view)")
     eval_cams, eval_targets = cams, targets
     if args.holdout > 0 and len(cams) > args.holdout:
         hold = set(range(0, len(cams), args.holdout))

@@ -150,13 +150,35 @@ def main(argv=None):
                              overflow=int(aux["capacity_overflow"]))
         else:
             # A "batch" of DATA copies of this camera keeps the mesh fully
-            # occupied for a single-frame render.
+            # occupied for a single-frame render. Overflow recovery matches
+            # render_auto's contract (never save a silently truncated
+            # frame): regrow the channel that overflowed and retry.
             cams_b = stack_cameras([cam] * mesh.shape["data"])
             cams_b = jax.device_put(cams_b, NamedSharding(mesh, P("data")))
-            imgs, counters = render_sh(params, cams_b, cfg, mesh)
+            for _ in range(4):
+                imgs, counters = render_sh(params, cams_b, cfg, mesh)
+                msg_extra = {k: int(np.sum(np.asarray(v)))
+                             for k, v in counters.items()}
+                cap_ovf = msg_extra["capacity_overflow"]
+                gauss_ovf = msg_extra["gauss_overflow"]
+                if cap_ovf == 0 and gauss_ovf == 0:
+                    break
+                import dataclasses as _dc3
+                if gauss_ovf:
+                    cfg = _dc3.replace(
+                        cfg, strip_gauss_mult=cfg.strip_gauss_mult * 1.5)
+                if cap_ovf:
+                    cap_now = cfg.instance_capacity(
+                        params.num_gaussians // mesh.shape["tile"])
+                    cfg = _dc3.replace(
+                        cfg, capacity=int((cap_now + cap_ovf) * 1.3))
+                print(json.dumps(dict(regrow=True, **msg_extra)),
+                      file=sys.stderr)
+            else:
+                import warnings
+                warnings.warn("sharded render still truncated after "
+                              f"regrows: {msg_extra}", RuntimeWarning)
             img = np.asarray(imgs[0])
-            msg_extra = {k: int(np.sum(np.asarray(v)))
-                         for k, v in counters.items()}
             aux = None
         dt = time.time() - t0
         out = args.output if frames == 1 else args.output.replace(

@@ -7,10 +7,12 @@ reductions. Also covers the generalized segment-reduce kernel's two new
 modes (streamed targets, multi-range-per-segment) against numpy, and the
 bucket-overflow gate.
 
-Scene fixture: 8 tile shards over a 256-px-tall frame (16 tile rows, 2
-per shard) with strip_gauss_mult = 2.0 -> gauss cap 0.75N < N, so strip
-compaction (and with it the compact exchange) is ACTIVE — asserted, since
-a fixture where it silently falls back to dense would test nothing.
+Scene fixture: a 256-px-tall frame (16 tile rows) split over 8 or 4 tile
+shards (batch 1 / 2) with strip_gauss_mult = 1.5 -> gauss cap < N in BOTH
+geometries, so strip compaction (and with it the compact exchange) is
+ACTIVE everywhere — asserted per geometry, since a fixture where it
+silently falls back to dense would test nothing (a 2.0 multiplier made
+exactly that happen for the 4-shard case: cap == N -> None -> dense).
 """
 
 import dataclasses
@@ -51,7 +53,7 @@ def _setup(batch=1, sort_by_y=False):
         for i in range(batch)
     ])
     cfg = RenderConfig(sh_degree=1, use_pallas=True, capacity_mult=16,
-                       strip_gauss_mult=2.0, max_per_tile=2048,
+                       strip_gauss_mult=1.5, max_per_tile=2048,
                        grad_exchange="compact", grad_a2a_mult=2.0)
     rng = np.random.default_rng(0)
     targets = jnp.asarray(rng.uniform(0, 1, (batch, H, W, 3)), jnp.float32)
@@ -62,14 +64,15 @@ def _mesh(batch=1):
     return make_render_mesh(data=batch, tile=8 // batch)
 
 
-def test_fixture_compaction_active():
+@pytest.mark.parametrize("tile_shards", [8, 4])
+def test_fixture_compaction_active(tile_shards):
     _, _, _, cfg = _setup()
     tiles_y = cfg.tile_grid(W, H)[1]
-    nrows = -(-tiles_y // 8)
+    nrows = -(-tiles_y // tile_shards)
     gcap = cfg.strip_gauss_capacity(N, nrows, tiles_y)
     assert gcap is not None and gcap < N, (
-        "fixture must exercise strip compaction, else compact == dense "
-        "trivially")
+        f"fixture must exercise strip compaction on {tile_shards} shards, "
+        "else compact == dense trivially")
 
 
 def test_forward_images_identical():

@@ -107,8 +107,12 @@ def main():
         binned = bin_and_sort(pg, w, h, cfg, row0, nrows, cap_strip,
                               gauss_capacity=gcap)
         img, aux = rasterize_pallas(pg, binned, w, h, cfg, row0, nrows)
+        # BOTH truncation channels must stay zero or the timed workload is
+        # a silently cheaper render (gauss_overflow split out of overflow
+        # in r5 — the assert must cover it separately now).
         return jnp.sum(img * img), (aux["num_instances"],
-                                    aux["capacity_overflow"])
+                                    aux["capacity_overflow"]
+                                    + aux["gauss_overflow"])
 
     grad_strip = jax.jit(jax.grad(strip_loss, has_aux=True))
 
@@ -151,7 +155,8 @@ def main():
                               gauss_capacity=gcap)
         img, aux = rasterize_pallas(pg, binned, w, h, cfg_prod, row0, nrows)
         return jnp.sum(img * img), (aux["num_instances"],
-                                    aux["capacity_overflow"])
+                                    aux["capacity_overflow"]
+                                    + aux["gauss_overflow"])
 
     grad_prod = jax.jit(jax.grad(strip_loss_prod, has_aux=True))
     prod_ms = []
@@ -185,7 +190,8 @@ def main():
             pg = preprocess(p, cam, cfg)
             table = pack_exchange_table(pg)[None]  # [1, N, 16] "gathered"
             img, counters = exchange_render_emulated(table, row0f, st)
-            return jnp.sum(img * img), (counters["capacity_overflow"],
+            return jnp.sum(img * img), (counters["capacity_overflow"]
+                                        + counters["gauss_overflow"],
                                         counters["a2a_overflow"])
 
         grad_c = jax.jit(jax.grad(strip_loss_c, has_aux=True))
@@ -226,14 +232,14 @@ def main():
     res["t_preprocess_fwdbwd_full_ms"] = round(t_pre_grad_full, 2)
     res["t_preprocess_fwdbwd_shard_ms"] = round(max(t_pre_grad_shard, 0.0), 3)
 
-    # --- 3. exact communication volumes ---
-    # all-gather of compact attrs: ProcessedGaussians = uv2 conic3 op1
-    # color3 depth1 aabb4 ntiles1 radius1 = 16 f32/Gaussian.
-    ag_bytes = n * 16 * 4 * (shards - 1) // shards
+    # --- 3. exact communication volumes (shared accounting:
+    # parallel/collectives.tile_exchange_bytes — 16 f32 attr columns
+    # gathered, 9 live gradient rows psum-scattered back) ---
+    from tpusplat.parallel.collectives import tile_exchange_bytes
+
+    xb = tile_exchange_bytes(n, shards)
+    ag_bytes, rs_bytes = xb["allgather"], xb["psum_scatter"]
     res["allgather_mbytes"] = round(ag_bytes / 1e6, 1)
-    # backward transpose: psum-scatter of d(compact attrs), 9 live rows
-    # (uv, conic, opacity, color) — aabb/ntiles/radius are integer-like.
-    rs_bytes = n * 9 * 4 * (shards - 1) // shards
     res["reduce_scatter_mbytes"] = round(rs_bytes / 1e6, 1)
 
     # --- 3b. single-chip full-frame reference (efficiency denominator) ---

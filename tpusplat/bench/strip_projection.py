@@ -13,32 +13,14 @@ of the v5e datasheet bandwidth.
 
 from __future__ import annotations
 
-import time
 from functools import partial
 
-
-def _force(out):
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = jax.device_get(leaf.ravel()[0])
+from tpusplat.bench.strip_bench import timeit as _strip_timeit
 
 
 def _timeit(fn, *args, iters=4):
-    out = fn(*args)
-    _force(out)
-
-    def run(k):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(k):
-            o = fn(*args)
-        _force(o)
-        return time.perf_counter() - t0
-
-    t1 = run(max(1, iters // 2))
-    t2 = run(max(1, iters // 2) + iters)
-    return max((t2 - t1) / iters * 1e3, 0.0), out
+    t, out = _strip_timeit(fn, *args, iters=iters)
+    return max(t, 0.0), out
 
 
 def measure_strip_projection(params, cam, cfg, shards=8, iters=4,
@@ -102,11 +84,10 @@ def measure_strip_projection(params, cam, cfg, shards=8, iters=4,
     t_pre_shard, _ = _timeit(pre_g, *split_trainable(params_shard), iters=40)
     t_pre_full, _ = _timeit(pre_g, *split_trainable(params), iters=10)
 
-    # all_gather of the 16-f32 compact attributes; psum-scatter of the 9
-    # live gradient rows (the dense exchange's transpose).
-    ag_bytes = n * 16 * 4 * (shards - 1) // shards
-    rs_bytes = n * 9 * 4 * (shards - 1) // shards
-    comm_ms = (ag_bytes + rs_bytes) / (100.0 * 1e6)  # ICI @50% of 200 GB/s
+    from tpusplat.parallel.collectives import tile_exchange_bytes
+
+    xb = tile_exchange_bytes(n, shards)  # shared accounting w/ strip_bench
+    comm_ms = (xb["allgather"] + xb["psum_scatter"]) / (100.0 * 1e6)  # ICI @50%
     frame_ms = max(strip_ms) - t_pre_full + t_pre_shard + comm_ms
     return dict(
         strip_ms_max=round(max(strip_ms), 2),

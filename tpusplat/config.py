@@ -172,6 +172,12 @@ class RenderConfig:
             "TPUSPLAT_MAX_PER_TILE": ("max_per_tile", int),
             "TPUSPLAT_SH_DEGREE": ("sh_degree", int),
             "TPUSPLAT_MM_PRECISION": ("mm_precision", str),
+            # Sharded-training knobs: reachable from the product CLIs
+            # (apps/train.py --mesh) without code changes, so the
+            # per-channel regrow recoveries are tunable end-to-end.
+            "TPUSPLAT_GRAD_EXCHANGE": ("grad_exchange", str),
+            "TPUSPLAT_GRAD_A2A_MULT": ("grad_a2a_mult", float),
+            "TPUSPLAT_STRIP_GAUSS_MULT": ("strip_gauss_mult", float),
         }
         updates = {}
         for var, (field, conv) in env.items():

@@ -137,10 +137,12 @@ def run_interactive(
         if not dirty:
             continue
         t0 = time.time()
-        # Sample on the LAST frame of each window, never frame 0: a profiled
-        # first frame would pay three extra stage-path compiles before
-        # anything is displayed (ADVICE r4).
+        # Sample on the LAST frame of each window, never frame 0 (the
+        # frames > 0 guard covers profile_every=1): a profiled first frame
+        # would pay three extra stage-path compiles before anything is
+        # displayed, and would seed the fps EMA fence-inflated (ADVICE r4).
         profiled = (profile_every
+                    and frames > 0
                     and frames % profile_every == profile_every - 1
                     and hasattr(session, "draw_profiled"))
         if profiled:

@@ -939,7 +939,7 @@ def _assemble_strip(out, num_tiles, nrows, tiles_x, tw, th, crop_h, width):
 def _disassemble_strip_cot(d_img, t_pad, num_tiles, nrows, tiles_x, tw, th):
     """Transpose of _assemble_strip's image path for a full-strip cotangent
     d_img [nrows*th, width, 3] -> [t_pad, 8, npx] (tmap cotangent zero)."""
-    h_pad, w_pad = nrows * th, tiles_x * tw
+    w_pad = tiles_x * tw
     d = jnp.pad(d_img, ((0, 0), (0, w_pad - d_img.shape[1]), (0, 0)))
     # inverse of transpose(0, 3, 1, 4, 2): [nrows, th, tiles_x, tw, 3] ->
     # [nrows, tiles_x, 3, th, tw]

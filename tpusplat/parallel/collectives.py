@@ -98,3 +98,20 @@ def allreduce_bytes(num_params: int, axis_size: int, dtype_bytes: int = 4) -> di
         steps=2 * (axis_size - 1),
         bytes_per_step=int(ring / max(2 * (axis_size - 1), 1)),
     )
+
+
+# Exchange-table layout constants of the tile-sharded render body
+# (parallel/sharded.py / compact_grad.py): 16 f32 attribute columns
+# all-gathered forward, 9 live gradient rows psum-scattered back (dense
+# exchange). Single source for the byte accounting used by
+# bench/strip_bench.py, bench/strip_projection.py, and docs/SCALING.md.
+ATTR_COLS = 16
+GRAD_ROWS = 9
+
+
+def tile_exchange_bytes(n: int, shards: int) -> dict:
+    """Per-chip ICI volume of the dense attribute exchange at N Gaussians."""
+    return dict(
+        allgather=n * ATTR_COLS * 4 * (shards - 1) // shards,
+        psum_scatter=n * GRAD_ROWS * 4 * (shards - 1) // shards,
+    )
