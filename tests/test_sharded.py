@@ -63,6 +63,23 @@ def test_sharded_render_tile_only_mesh():
     np.testing.assert_allclose(np.asarray(img)[0], np.asarray(ref), atol=1e-5, rtol=1e-4)
 
 
+def test_sharded_render_data_only_mesh():
+    """BASELINE config 4's shape (8-camera batch, pure DP): every device
+    renders one whole camera; images equal the single-device renders."""
+    params, cams, cfg = _setup(batch=8)
+    mesh = make_render_mesh(data=8, tile=1)
+    imgs, counters = jax.jit(render_sharded, static_argnames=("cfg", "mesh"))(
+        params, cams, cfg, mesh
+    )
+    assert int(np.asarray(counters["capacity_overflow"]).sum()) == 0
+    imgs = np.asarray(imgs)
+    for b in (0, 3, 7):
+        cam_b = jax.tree_util.tree_map(lambda x: x[b], cams)
+        ref, _ = render_stages(params, cam_b, cfg)
+        np.testing.assert_allclose(imgs[b], np.asarray(ref), atol=1e-5,
+                                   rtol=1e-4, err_msg=f"camera {b}")
+
+
 def test_sharded_train_step_matches_unsharded():
     params, cams, cfg = _setup(batch=2)
     rng = np.random.default_rng(0)
