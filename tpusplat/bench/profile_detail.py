@@ -79,26 +79,35 @@ def strip_main(shards: int):
           f"gcap={gcap} backend={jax.default_backend()}",
           file=sys.stderr, flush=True)
 
-    if gcap is not None:
-        def dsort(pg, r0):
-            y0c = jnp.clip(pg.aabb[:, 1], r0, r0 + nrows)
-            y1c = jnp.clip(pg.aabb[:, 3], r0, r0 + nrows)
+    # The shipped path (binning.bin_and_sort, round 5): the emission meta
+    # rides through the depth sort as integer payloads — one stage covers
+    # the old argsort + [stream, 2] meta gather.
+    def dsort_meta(pg, r0):
+        y0c = jnp.clip(pg.aabb[:, 1], r0, r0 + nrows)
+        y1c = jnp.clip(pg.aabb[:, 3], r0, r0 + nrows)
+        if gcap is not None:
             vis = (pg.ntiles > 0) & (y1c > y0c)
-            key = lax.stop_gradient(
-                jnp.where(vis, pg.depth, jnp.float32(jnp.inf)))
-            return jnp.argsort(key, stable=True)
-    else:
-        def dsort(pg, r0):
-            key = lax.stop_gradient(
-                jnp.where(pg.ntiles > 0, pg.depth, jnp.float32(jnp.inf)))
-            return jnp.argsort(key, stable=True)
+        else:
+            vis = pg.ntiles > 0
+        key = lax.stop_gradient(
+            jnp.where(vis, pg.depth, jnp.float32(jnp.inf)))
+        x0 = pg.aabb[:, 0]
+        ntiles_m = jnp.where(
+            pg.ntiles > 0, (pg.aabb[:, 2] - x0) * jnp.maximum(y1c - y0c, 0), 0)
+        bbh = jnp.maximum(y1c - y0c, 1)
+        packed = x0 + (y0c << 8) + (bbh << 16)
+        _, ids_d, nt_d, pk_d = lax.sort(
+            (key, lax.iota(jnp.int32, n), ntiles_m, packed),
+            num_keys=1, is_stable=True)
+        k = gcap if gcap is not None else n
+        return ids_d[:k], nt_d[:k], pk_d[:k], jnp.sum(ntiles_m)
 
-    res["argsort_N"], order = timeit(jax.jit(dsort), pg, row0)
+    res["depth_sort_meta"], meta = timeit(jax.jit(dsort_meta), pg, row0)
 
     exp = jax.jit(partial(expand_instances_pallas, tiles_x=tiles_x,
-                          capacity=cap, nrows=nrows, gauss_capacity=gcap))
+                          capacity=cap, nrows=nrows))
     res["emission"], (tile, gid, tot, ovf, govf) = timeit(
-        lambda pg, r0, o: exp(pg, row0=r0, depth_order=o), pg, row0, order)
+        lambda pg, r0, m: exp(pg, row0=r0, meta_sorted=m), pg, row0, meta)
     assert int(ovf) == 0 and int(govf) == 0, (
         f"strip overflow {int(ovf)} gauss {int(govf)}")
     res["strip_instances"] = int(tot)

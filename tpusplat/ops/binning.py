@@ -273,41 +273,58 @@ def bin_and_sort(
     # by emission (gaussian-index) order — a stable argsort by depth followed
     # by a stable tile sort produces the identical permutation. Ordering
     # must not differentiate (the reference's sort is forward-only).
+    y0c, y1c = pg.aabb[:, 1], pg.aabb[:, 3]
+    if nrows < tiles_y:
+        y0c = jnp.clip(y0c, row0, row0 + nrows)
+        y1c = jnp.clip(y1c, row0, row0 + nrows)
     if compact:
         # Strip-clipped visibility key: invisible-IN-STRIP Gaussians sort
         # to the end, so order[:gauss_capacity] is the compacted stream.
-        y0c = jnp.clip(pg.aabb[:, 1], row0, row0 + nrows)
-        y1c = jnp.clip(pg.aabb[:, 3], row0, row0 + nrows)
         vis = (pg.ntiles > 0) & (y1c > y0c)
     else:
         vis = pg.ntiles > 0
     depth_key = lax.stop_gradient(
         jnp.where(vis, pg.depth, jnp.float32(jnp.inf))
     )
-    depth_order = jnp.argsort(depth_key, stable=True)
 
     stream_ids = None
-    if compact:
-        # Stable argsort puts all finite-key (strip-visible) Gaussians
-        # first, so order[:gcap] is the compacted stream; entries past the
-        # visible count are arbitrary invisible ids — masked to the
-        # sentinel N so downstream consumers (the compact-gradient
-        # exchange) can skip them.
-        n_vis = jnp.sum(vis.astype(jnp.int32))
-        stream_ids = jnp.where(
-            lax.iota(jnp.int32, gauss_capacity) < n_vis,
-            depth_order[:gauss_capacity].astype(jnp.int32), jnp.int32(n))
-
     if use_pallas_exp:
         # Streaming Pallas emission (ops/emission.py): identical outputs,
         # ~5x faster than the XLA scatter/cummax/gather formulation below.
+        # The per-Gaussian emission meta (clipped tile count + the packed
+        # x0|y0|bbh word) rides through the depth sort as integer payloads:
+        # measured 2.7 ms/strip cheaper than argsort followed by a
+        # [stream, 2] row gather at XLA's ~6.7 ns/row (docs/MICRO_r05.md).
         from tpusplat.ops.emission import expand_instances_pallas
 
+        x0 = pg.aabb[:, 0]
+        ntiles_m = jnp.where(
+            pg.ntiles > 0,
+            (pg.aabb[:, 2] - x0) * jnp.maximum(y1c - y0c, 0), 0)
+        bbh = jnp.maximum(y1c - y0c, 1)
+        packed = x0 + (y0c << 8) + (bbh << 16)  # 8/8/8 bits, < 2^24
+        _, ids_d, nt_d, pk_d = lax.sort(
+            (depth_key, lax.iota(jnp.int32, n), ntiles_m, packed),
+            num_keys=1, is_stable=True)
+        total_true = jnp.sum(ntiles_m)
+        if compact:
+            n_vis = jnp.sum(vis.astype(jnp.int32))
+            ids_d = ids_d[:gauss_capacity]
+            nt_d = nt_d[:gauss_capacity]
+            pk_d = pk_d[:gauss_capacity]
+            # Entries past the visible count are arbitrary invisible ids —
+            # masked to the sentinel N so downstream consumers (the
+            # compact-gradient exchange) can skip them.
+            stream_ids = jnp.where(
+                lax.iota(jnp.int32, gauss_capacity) < n_vis,
+                ids_d, jnp.int32(n))
+
         tile, gid, total, overflow, gauss_ovf = expand_instances_pallas(
-            pg, tiles_x, capacity, row0, nrows, depth_order,
-            gauss_capacity if compact else None,
+            pg, tiles_x, capacity, row0, nrows,
+            meta_sorted=(ids_d, nt_d, pk_d, total_true),
         )
     else:
+        depth_order = jnp.argsort(depth_key, stable=True)
         tile, gid, total, overflow, gauss_ovf = expand_instances(
             pg, tiles_x, capacity, row0, nrows, depth_order
         )

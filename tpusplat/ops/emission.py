@@ -166,6 +166,7 @@ def _emission_kernel(astart_ref, nblk_ref, row0_ref, total_ref, meta_hbm,
 def expand_instances_pallas(
     pg: ProcessedGaussians, tiles_x: int, capacity: int, row0=0, nrows=None,
     depth_order: jax.Array | None = None, gauss_capacity: int | None = None,
+    meta_sorted=None,
 ):
     """Drop-in replacement for binning.expand_instances (Pallas path).
 
@@ -193,35 +194,51 @@ def expand_instances_pallas(
     only by growing ``cfg.strip_gauss_mult``. Folding them together sent
     host regrow loops into an unbounded instance-capacity regrow that could
     never clear a gauss-cap overflow.
+
+    ``meta_sorted`` (the production fast path, built by bin_and_sort):
+    ``(ids, ntiles, packed, total_true)`` already in depth-emission order
+    (and already compacted, if applicable) — the caller carried the meta
+    through its depth sort as integer payloads, which measures ~2.7 ms
+    cheaper per strip than the [stream, 2] row gather this function
+    otherwise performs (docs/MICRO_r05.md). ``total_true`` is the
+    pre-compaction clipped instance total (for gauss_overflow accounting).
+    Mutually exclusive with ``depth_order``/``gauss_capacity``.
     """
     n_orig = pg.ntiles.shape[0]
     cap_pad = -(-capacity // (EW * EWG)) * (EW * EWG)
     assert n_orig < 2**24 and capacity < 2**24, (
         "emission kernel fields must stay exact in f32"
     )
-    x0, y0 = pg.aabb[:, 0], pg.aabb[:, 1]
-    x1, y1 = pg.aabb[:, 2], pg.aabb[:, 3]
-    if nrows is not None:
-        y0 = jnp.clip(y0, row0, row0 + nrows)
-        y1 = jnp.clip(y1, row0, row0 + nrows)
     assert tiles_x <= 255, "packed meta field holds 8 bits per coordinate"
-    ntiles = jnp.where(pg.ntiles > 0, (x1 - x0) * jnp.maximum(y1 - y0, 0), 0)
-    bbh = jnp.maximum(y1 - y0, 1)
-    packed = x0 + (y0 << 8) + (bbh << 16)  # 8/8/8 bits, < 2^24
-
-    tbl = jnp.stack([ntiles, packed], axis=-1)  # [N, 2]
-    total_true = jnp.sum(ntiles)
-    if depth_order is not None and gauss_capacity is not None \
-            and gauss_capacity < n_orig:
-        ids = depth_order[:gauss_capacity].astype(jnp.int32)
-        tbl = tbl[ids]
-    elif depth_order is not None:
-        ids = depth_order.astype(jnp.int32)
-        tbl = tbl[depth_order]
+    if meta_sorted is not None:
+        assert depth_order is None and gauss_capacity is None
+        ids, ntiles_d, packed_d = (x.astype(jnp.int32) for x in
+                                   meta_sorted[:3])
+        total_true = meta_sorted[3]
     else:
-        ids = lax.iota(jnp.int32, n_orig)
+        x0, y0 = pg.aabb[:, 0], pg.aabb[:, 1]
+        x1, y1 = pg.aabb[:, 2], pg.aabb[:, 3]
+        if nrows is not None:
+            y0 = jnp.clip(y0, row0, row0 + nrows)
+            y1 = jnp.clip(y1, row0, row0 + nrows)
+        ntiles = jnp.where(pg.ntiles > 0,
+                           (x1 - x0) * jnp.maximum(y1 - y0, 0), 0)
+        bbh = jnp.maximum(y1 - y0, 1)
+        packed = x0 + (y0 << 8) + (bbh << 16)  # 8/8/8 bits, < 2^24
+
+        tbl = jnp.stack([ntiles, packed], axis=-1)  # [N, 2]
+        total_true = jnp.sum(ntiles)
+        if depth_order is not None and gauss_capacity is not None \
+                and gauss_capacity < n_orig:
+            ids = depth_order[:gauss_capacity].astype(jnp.int32)
+            tbl = tbl[ids]
+        elif depth_order is not None:
+            ids = depth_order.astype(jnp.int32)
+            tbl = tbl[depth_order]
+        else:
+            ids = lax.iota(jnp.int32, n_orig)
+        ntiles_d, packed_d = tbl[:, 0], tbl[:, 1]
     n = ids.shape[0]  # meta length from here on (compacted or full)
-    ntiles_d = tbl[:, 0]
     cum = jnp.cumsum(ntiles_d)
     off = (cum - ntiles_d).astype(jnp.int32)
     total = cum[-1]
@@ -232,7 +249,7 @@ def expand_instances_pallas(
     n_pad = -(-n // EIB) * EIB
     meta = jnp.stack([
         off.astype(jnp.float32),
-        tbl[:, 1].astype(jnp.float32),
+        packed_d.astype(jnp.float32),
         ids.astype(jnp.float32),
     ] + [jnp.zeros((n,), jnp.float32)] * (MROWS - 3), axis=0)  # [MROWS, N]
     totf = total.astype(jnp.float32)
