@@ -87,3 +87,18 @@ def test_env_overrides(monkeypatch):
     assert cfg.capacity_mult == 6.5 and cfg.max_per_tile == 512
     monkeypatch.setenv("TPUSPLAT_USE_PALLAS", "off")
     assert not base.with_env_overrides().use_pallas
+
+    # Sharded-training knobs (round 5): exchange strategy and the
+    # regrow-tunable capacity multipliers reach the product CLIs via env.
+    monkeypatch.setenv("TPUSPLAT_GRAD_EXCHANGE", "compact")
+    monkeypatch.setenv("TPUSPLAT_GRAD_A2A_MULT", "1.7")
+    monkeypatch.setenv("TPUSPLAT_STRIP_GAUSS_MULT", "2.5")
+    cfg2 = base.with_env_overrides()
+    assert cfg2.grad_exchange == "compact"
+    assert cfg2.grad_a2a_mult == 1.7 and cfg2.strip_gauss_mult == 2.5
+    # A typo'd strategy must fail loudly, not silently fall back.
+    monkeypatch.setenv("TPUSPLAT_GRAD_EXCHANGE", "Compact")
+    import pytest
+
+    with pytest.raises(ValueError):
+        base.with_env_overrides()
