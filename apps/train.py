@@ -61,6 +61,16 @@ def main(argv=None):
                         "exceed the worst-case pipeline compile time: the "
                         "first step and every post-regrow retry recompile")
     args = p.parse_args(argv)
+    # Pure argument validation up front — before any dataset load.
+    if args.holdout == 1:
+        p.error("--holdout must be >= 2 (1 would hold out every view)")
+    mesh_dims = None
+    if args.mesh:
+        try:
+            mesh_dims = tuple(int(x) for x in args.mesh.lower().split("x"))
+            assert len(mesh_dims) == 2 and min(mesh_dims) >= 1
+        except (ValueError, AssertionError):
+            p.error("--mesh expects DATAxTILE, e.g. 2x4")
 
     import dataclasses
 
@@ -77,11 +87,6 @@ def main(argv=None):
     from tpusplat.train.densify import DensifyConfig, densify_and_prune, reset_opacity
     from tpusplat.train.step import create_train_state, make_optimizer, train_step
     from tpusplat.types import GaussianParams
-
-    mesh_dims = None
-    if args.mesh:
-        mesh_dims = tuple(int(x) for x in args.mesh.lower().split("x"))
-        assert len(mesh_dims) == 2, "--mesh expects DATAxTILE, e.g. 2x4"
 
     w, h = args.width, args.height
     cfg = RenderConfig(max_per_tile=2048).with_env_overrides()
@@ -183,9 +188,6 @@ def main(argv=None):
         init = dataclasses.replace(init, alive=jnp.asarray(alive))
 
     # --- held-out eval split (every Kth view, the llffhold convention) ---
-    if args.holdout == 1:
-        # K=1 would hold out EVERY view, leaving nothing to train on.
-        p.error("--holdout must be >= 2 (1 would hold out every view)")
     eval_cams, eval_targets = cams, targets
     if args.holdout > 0 and len(cams) > args.holdout:
         hold = set(range(0, len(cams), args.holdout))
@@ -250,42 +252,27 @@ def main(argv=None):
     dog = Watchdog(args.watchdog_secs).start() if args.watchdog_secs > 0 \
         else None
 
+    from tpusplat.config import regrow as _regrow
+
     def poll_oldest():
         nonlocal cfg, done
         i, metrics = inflight.popleft()
         overflow = int(jnp.sum(metrics["capacity_overflow"]))
-        gauss_ovf = int(jnp.sum(metrics.get("gauss_overflow", 0)))
-        a2a_ovf = int(jnp.sum(metrics.get("a2a_overflow", 0)))
         if dog is not None:
             dog.beat(done)  # metrics fetch above is the device sync
-        if a2a_ovf > 0:
-            # Compact-exchange bucket overflow (sharded mode): its
-            # recovery is the bucket-capacity multiplier.
-            cfg = dataclasses.replace(
-                cfg, grad_a2a_mult=cfg.grad_a2a_mult * 1.5)
+        # Shared per-channel recovery policy (config.regrow): each
+        # truncation channel grows ITS capacity knob — instance capacity
+        # on the PER-SHARD Gaussian count (render_sharded sizes buffers
+        # per tile shard), gauss-stream / a2a-bucket multipliers, and the
+        # XLA path's max_per_tile. The step already no-op'd in-graph.
+        shard_g = state.params.num_gaussians // (
+            mesh.shape["tile"] if mesh is not None else 1)
+        cfg2, changes = _regrow(cfg, metrics, shard_g)
+        if changes is not None:
+            cfg = cfg2
             retry_q.append(i)
-            print(json.dumps(dict(
-                step=done + 1, grad_a2a_mult_regrow=cfg.grad_a2a_mult,
-                a2a_overflow=a2a_ovf)), file=sys.stderr, flush=True)
-            return
-        if gauss_ovf > 0:
-            # Strip-compaction cap overflow: growing the INSTANCE capacity
-            # cannot clear it — grow the Gaussian-stream multiplier instead
-            # (the machine-distinguished recovery, ADVICE r4).
-            cfg = dataclasses.replace(
-                cfg, strip_gauss_mult=cfg.strip_gauss_mult * 1.5)
-            retry_q.append(i)
-            print(json.dumps(dict(
-                step=done + 1, strip_gauss_mult_regrow=cfg.strip_gauss_mult,
-                gauss_overflow=gauss_ovf)), file=sys.stderr, flush=True)
-            return
-        if overflow > 0:
-            cap_now = cfg.instance_capacity(state.params.num_gaussians)
-            cfg = dataclasses.replace(
-                cfg, capacity=int((cap_now + overflow) * 1.3))
-            retry_q.append(i)
-            print(json.dumps(dict(step=done + 1, capacity_regrow=cfg.capacity,
-                                  overflow=overflow)), file=sys.stderr, flush=True)
+            print(json.dumps(dict(step=done + 1, **changes)),
+                  file=sys.stderr, flush=True)
             return
         done += 1
         if done % args.log_every == 0:

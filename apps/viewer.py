@@ -58,6 +58,9 @@ def main(argv=None):
                    help="interactive terminal preview width in characters")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
+    if args.mesh and args.interactive:
+        p.error("--mesh is not supported with --interactive (the terminal "
+                "loop drives the single-device Session); drop one of them")
 
     import numpy as np
 
@@ -155,24 +158,21 @@ def main(argv=None):
             # frame): regrow the channel that overflowed and retry.
             cams_b = stack_cameras([cam] * mesh.shape["data"])
             cams_b = jax.device_put(cams_b, NamedSharding(mesh, P("data")))
+            from tpusplat.config import regrow as _regrow
+
             for _ in range(4):
                 imgs, counters = render_sh(params, cams_b, cfg, mesh)
                 msg_extra = {k: int(np.sum(np.asarray(v)))
                              for k, v in counters.items()}
-                cap_ovf = msg_extra["capacity_overflow"]
-                gauss_ovf = msg_extra["gauss_overflow"]
-                if cap_ovf == 0 and gauss_ovf == 0:
+                # Shared per-channel recovery (config.regrow, the
+                # render_auto contract: never save a truncated frame).
+                cfg2, changes = _regrow(
+                    cfg, counters,
+                    params.num_gaussians // mesh.shape["tile"])
+                if changes is None:
                     break
-                import dataclasses as _dc3
-                if gauss_ovf:
-                    cfg = _dc3.replace(
-                        cfg, strip_gauss_mult=cfg.strip_gauss_mult * 1.5)
-                if cap_ovf:
-                    cap_now = cfg.instance_capacity(
-                        params.num_gaussians // mesh.shape["tile"])
-                    cfg = _dc3.replace(
-                        cfg, capacity=int((cap_now + cap_ovf) * 1.3))
-                print(json.dumps(dict(regrow=True, **msg_extra)),
+                cfg = cfg2
+                print(json.dumps(dict(regrow=True, **changes)),
                       file=sys.stderr)
             else:
                 import warnings

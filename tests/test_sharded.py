@@ -195,5 +195,11 @@ def test_sharded_tile_overflow_reported():
     state = dataclasses.replace(
         state, params=jax.device_put(state.params, params_sharding(mesh))
     )
-    _, metrics = sharded_train_step(state, cams, targets, cfg_tiny, optimizer, mesh)
+    state1, metrics = sharded_train_step(state, cams, targets, cfg_tiny,
+                                         optimizer, mesh)
     assert int(np.asarray(metrics["tile_overflow"]).sum()) > 0
+    # ... and (round 5) gate the update: gradients from per-tile-truncated
+    # rasterization are never applied; the host regrows max_per_tile.
+    assert int(state1.step) == 0
+    np.testing.assert_array_equal(np.asarray(state1.params.means),
+                                  np.asarray(params.means))

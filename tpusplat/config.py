@@ -204,6 +204,53 @@ class RenderConfig:
         )
 
 
+def regrow(cfg: RenderConfig, counters: dict, shard_gaussians: int):
+    """One shared overflow-recovery policy for every driver loop.
+
+    ``counters``: the overflow dict a render/train step returns (values may
+    be device scalars or per-device arrays — summed here). Each channel
+    names its own recovery (the reference has one knob, the sort-buffer
+    multiplier, ``src/Renderer.h:143``; we have four because the sharded
+    pipeline has four static capacities):
+
+      capacity_overflow -> instance capacity (based on the PER-SHARD
+        Gaussian count — ``shard_gaussians`` — since render_sharded sizes
+        its buffers per tile shard)
+      gauss_overflow    -> strip_gauss_mult (compacted-stream cap)
+      a2a_overflow      -> grad_a2a_mult (compact-exchange bucket cap)
+      tile_overflow     -> max_per_tile (XLA-rasterizer per-tile cap)
+
+    Returns (new_cfg, log_dict) — log_dict is None when nothing overflowed
+    (new_cfg is then ``cfg`` itself).
+    """
+    import numpy as np
+
+    get = lambda k: int(np.sum(np.asarray(counters.get(k, 0))))  # noqa: E731
+    changes: dict = {}
+    updates: dict = {}
+    a2a = get("a2a_overflow")
+    if a2a > 0:
+        updates["grad_a2a_mult"] = cfg.grad_a2a_mult * 1.5
+        changes["a2a_overflow"] = a2a
+    gauss = get("gauss_overflow")
+    if gauss > 0:
+        updates["strip_gauss_mult"] = cfg.strip_gauss_mult * 1.5
+        changes["gauss_overflow"] = gauss
+    tile = get("tile_overflow")
+    if tile > 0:
+        updates["max_per_tile"] = cfg.max_per_tile * 2
+        changes["tile_overflow"] = tile
+    cap = get("capacity_overflow")
+    if cap > 0:
+        cap_now = cfg.instance_capacity(shard_gaussians)
+        updates["capacity"] = int((cap_now + cap) * 1.3)
+        changes["capacity_overflow"] = cap
+    if not updates:
+        return cfg, None
+    changes.update({k + "_regrow": v for k, v in updates.items()})
+    return dataclasses.replace(cfg, **updates), changes
+
+
 # Spherical-harmonics constants (common.glsl:16-33; identical to the standard
 # real-SH band coefficients used by upstream 3DGS).
 SH_C0 = 0.28209479177387814

@@ -317,9 +317,13 @@ def sharded_train_step(
     # (each channel names its own recovery, config.py) and retries from
     # the unchanged (donated-in-place) state, matching the reference's
     # retry semantics (src/Renderer.cpp:541-563).
+    # Every truncation channel gates the update — including tile_overflow
+    # (XLA-rasterizer per-tile cap): a dense tile losing contributions
+    # corrupts gradients exactly like instance-capacity truncation.
     ok = (jnp.sum(counters["capacity_overflow"])
           + jnp.sum(counters["gauss_overflow"])
-          + jnp.sum(counters["a2a_overflow"])) == 0
+          + jnp.sum(counters["a2a_overflow"])
+          + jnp.sum(counters["tile_overflow"])) == 0
     keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
         lambda a, b: jnp.where(ok, a, b), new, old
     )
@@ -441,7 +445,7 @@ def sharded_train_step_overlap(
     updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
     params = merge_trainable(optax.apply_updates(trainable, updates), alive)
     ok = (counters["capacity_overflow"] + counters["gauss_overflow"]
-          + counters["a2a_overflow"]) == 0
+          + counters["a2a_overflow"] + counters["tile_overflow"]) == 0
     keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
         lambda a, b: jnp.where(ok, a, b), new, old
     )

@@ -117,7 +117,8 @@ def train_step(
     # and retries (src/Renderer.cpp:541-563, goto at 383). Here the update is
     # gated to a no-op so the host loop can regrow capacity and retry from an
     # unchanged state, however lazily it polls the overflow counter.
-    ok = (aux["capacity_overflow"] + aux["gauss_overflow"]) == 0
+    ok = (aux["capacity_overflow"] + aux["gauss_overflow"]
+          + aux["tile_overflow"]) == 0
     keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
         lambda a, b: jnp.where(ok, a, b), new, old
     )
@@ -142,6 +143,10 @@ def train_step(
         # reported separately so regrow logic grows strip_gauss_mult, not
         # the instance capacity (ADVICE r4).
         gauss_overflow=aux["gauss_overflow"],
+        # XLA-path per-tile truncation (Pallas streams true ranges -> 0);
+        # gates the update like every other truncation channel, recovery
+        # is max_per_tile (config.regrow).
+        tile_overflow=aux["tile_overflow"],
     )
     state = TrainState(
         params=params,
